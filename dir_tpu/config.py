@@ -1,0 +1,114 @@
+"""Single typed configuration for the whole framework.
+
+The reference splits configuration across an editable class singleton
+(``config.py``), a yacs+YAML loader (``utils/config.py`` +
+``utils/defaults.yaml``), and scattered argparse blocks; it also has a
+latent positional-arg bug (``train.py:207`` passes ``root_joint`` into the
+dataset's ``img_size`` slot). Here everything is one frozen dataclass with
+explicit keyword construction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """DIR network hyperparameters (reference: models/dir.py:389-502, config.py)."""
+
+    joint_num: int = 21
+    num_verts: int = 778
+    # Backbone pyramid channel dims (ResNet-50): c1..c4.
+    backbone: str = "resnet50"
+    backbone_dims: Tuple[int, int, int, int] = (256, 512, 1024, 2048)
+    # Decoder feature dims per stage (reference fDim, models/dir.py:390).
+    decoder_dim: int = 256
+    # Joint token embedding dim inside each refinement stage (emd_dim).
+    embed_dim: int = 128
+    # Per-joint output feature dim from the interaction transformer (joint_dim).
+    joint_dim: int = 64
+    # Refinement stage feature map sizes and bone-splat distance thresholds
+    # (reference: models/dir.py:395,401).
+    stage_sizes: Tuple[int, ...] = (16, 32)
+    stage_distances: Tuple[float, ...] = (1.0, 2.0)
+    # MANO parameter vector: 6 (root 6D) + 45 (PCA pose) + 10 (shape) + 3 (cam).
+    mano_ncomps: int = 45
+    mano_param_dim: int = 6 + 45 + 10 + 3
+    # Transformer (STE) settings (reference: transformer/mixSTE.py:158-205).
+    ste_depth: int = 4
+    ste_heads: int = 4
+    ste_mlp_ratio: float = 2.0
+    # The reference constructs `ste_depth` blocks but executes blocks
+    # 1..depth-1 (mixSTE.py:197-199). We build only the executed blocks;
+    # the torch checkpoint converter drops `STEblocks.0.*`.
+    gcn_layers: int = 4
+    # Index of the joint used to center MANO output (0 = wrist).
+    root_joint: int = 0
+    # GCN adjacency built from the 21-joint hand skeleton.
+    bone_num: int = 20
+    # Loss weights (reference: models/dir.py:504-511,567-594).
+    coord_weight: float = 10.0
+    dense_weight: float = 1.0
+    seg_weight: float = 0.1
+    lovasz_weight: float = 0.1
+    normal_weight: float = 0.1
+    edge_weight: float = 1.0
+    seg_class_weights: Tuple[float, float, float] = (0.1, 0.45, 0.45)
+    # Scale normalization constant for xyz-space losses / embeddings.
+    coord_scale: float = 0.15
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Data pipeline settings (reference: config.py, dataset/dataset_utils.py)."""
+
+    data_dir: str = "./data/interhand2.6m"
+    img_size: int = 256
+    # ImageNet normalization used by the reference (dataset/interhand.py:108).
+    mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+    # Augmentation ranges (reference: utils/utils.py:463-473, interhand.py:172).
+    aug_scale: float = 0.1
+    aug_rot_deg: float = 180.0
+    aug_transl_px: float = 10.0
+    aug_flip: bool = True
+    aug_blur_prob: float = 0.3
+    aug_noise: float = 0.01
+    num_workers: int = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Trainer settings (reference: config.py:13-31, train.py:223-243)."""
+
+    batch_size: int = 64
+    total_epochs: int = 50
+    lr: float = 5e-4
+    lr_scheduler: str = "cosine"  # "cosine" | "step"
+    step_milestones: Tuple[int, ...] = (30,)
+    step_gamma: float = 0.1
+    weight_decay: float = 0.01  # torch AdamW default
+    seed: int = 25
+    print_every: int = 100
+    eval_every_epochs: int = 1
+    output_dir: str = "./output/dir_tpu"
+    checkpoint: str = ""
+    continue_train: bool = False
+    # Device mesh: data-parallel axis size of 0 means "all local devices".
+    mesh_data_axis: int = 0
+    # Compute dtype for the network (MANO + losses stay f32 for parity).
+    compute_dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    mano_assets: str = "./assets/mano"
+
+
+def default_config() -> Config:
+    return Config()

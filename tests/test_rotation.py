@@ -1,0 +1,84 @@
+"""Golden tests for rotation ops against scipy and algebraic identities."""
+
+import numpy as np
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation as R
+
+from dir_tpu.ops import rotation
+
+
+def _assert_rotation(mats, atol=1e-5):
+    mats = np.asarray(mats)
+    eye = np.eye(3)
+    for m in mats.reshape(-1, 3, 3):
+        np.testing.assert_allclose(m @ m.T, eye, atol=atol)
+        assert np.linalg.det(m) > 0.9
+
+
+def test_batch_rodrigues_matches_scipy(rng):
+    v = rng.randn(32, 3).astype(np.float32)
+    got = np.asarray(rotation.batch_rodrigues(jnp.asarray(v)))
+    want = R.from_rotvec(v).as_matrix()
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_rodrigues_matches_scipy(rng):
+    v = rng.randn(32, 3).astype(np.float32) * 2.0
+    got = np.asarray(rotation.rodrigues(jnp.asarray(v)))
+    want = R.from_rotvec(v).as_matrix()
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_rodrigues_zero_vector_is_identity():
+    v = jnp.zeros((2, 3), jnp.float32)
+    for fn in (rotation.rodrigues, rotation.batch_rodrigues):
+        got = np.asarray(fn(v))
+        np.testing.assert_allclose(got, np.eye(3)[None].repeat(2, 0), atol=1e-4)
+
+
+def test_rot6d_valid_rotations(rng):
+    p = rng.randn(64, 6).astype(np.float32)
+    _assert_rotation(rotation.rot6d_to_rotmat(jnp.asarray(p)))
+    _assert_rotation(rotation.robust_rot6d_to_rotmat(jnp.asarray(p)))
+    _assert_rotation(rotation.rot6d_to_rotmat_gs(jnp.asarray(p)))
+
+
+def test_rot6d_recovers_exact_rotation(rng):
+    """Feeding the first two columns of a rotation back must reproduce it."""
+    mats = R.random(16, random_state=0).as_matrix().astype(np.float32)
+    six = mats[:, :, :2].transpose(0, 2, 1).reshape(16, 6)  # columns x, y
+    for fn in (rotation.rot6d_to_rotmat, rotation.robust_rot6d_to_rotmat,
+               rotation.rot6d_to_rotmat_gs):
+        got = np.asarray(fn(jnp.asarray(six)))
+        np.testing.assert_allclose(got, mats, atol=1e-4)
+
+
+def test_rotmat_to_axis_angle_roundtrip(rng):
+    # Angles away from 0 and pi where the formula is well-conditioned.
+    angles = rng.uniform(0.2, 2.6, size=24).astype(np.float32)
+    axes = rng.randn(24, 3).astype(np.float32)
+    axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+    rotvec = axes * angles[:, None]
+    mats = R.from_rotvec(rotvec).as_matrix().astype(np.float32)
+    got = np.asarray(rotation.rotmat_to_axis_angle(jnp.asarray(mats)))
+    np.testing.assert_allclose(got, rotvec, atol=2e-3)
+
+
+def test_posemap_axisang_shapes_and_identity(rng):
+    pose = jnp.asarray(rng.randn(4, 45).astype(np.float32))
+    pose_map, rot_mats = rotation.posemap_axisang(pose)
+    assert pose_map.shape == (4, 135)
+    assert rot_mats.shape == (4, 135)
+    # pose_map == rot_mats - I for each 3x3 block
+    eye = np.tile(np.eye(3).reshape(9), 15)
+    np.testing.assert_allclose(
+        np.asarray(pose_map), np.asarray(rot_mats) - eye, atol=1e-6)
+
+
+def test_quat_to_rotmat_matches_scipy(rng):
+    q = rng.randn(16, 4).astype(np.float32)
+    got = np.asarray(rotation.quat_to_rotmat(jnp.asarray(q)))
+    # scipy uses xyzw ordering
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    want = R.from_quat(np.concatenate([qn[:, 1:], qn[:, :1]], 1)).as_matrix()
+    np.testing.assert_allclose(got, want, atol=1e-5)

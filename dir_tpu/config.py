@@ -22,6 +22,7 @@ class ModelConfig:
     num_verts: int = 778
     # Backbone pyramid channel dims (ResNet-50): c1..c4.
     backbone: str = "resnet50"
+    backbone_layers: Tuple[int, int, int, int] = (3, 4, 6, 3)
     backbone_dims: Tuple[int, int, int, int] = (256, 512, 1024, 2048)
     # Decoder feature dims per stage (reference fDim, models/dir.py:390).
     decoder_dim: int = 256

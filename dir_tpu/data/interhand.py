@@ -1,0 +1,168 @@
+"""InterHand2.6M processed-format dataset.
+
+Reads the same on-disk layout the reference's offline converter produces
+({split}/{img,mask,dense,anno}/{idx}.{jpg,pkl} — dataset/prepare_data.py),
+so data prepared for the reference works unchanged. Re-synthesizes GT
+verts/joints from stored MANO parameters with the host-side numpy MANO
+(reference: dataset/interhand.py:97-253) and applies the full training
+augmentation stack.
+
+Outputs a flat dict of numpy arrays per sample, NHWC, ready to collate.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+import pickle
+from glob import glob
+from typing import Dict, Optional, Tuple
+
+import cv2 as cv
+import numpy as np
+
+from dir_tpu.data import augment
+from dir_tpu.data.mano_np import NumpyMano
+from dir_tpu.mano.assets import ManoModel
+
+
+def _load_anno(path: str) -> dict:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+class InterHandDataset:
+    """Training/eval dataset over the processed InterHand2.6M layout."""
+
+    def __init__(self, data_path: str, split: str,
+                 mano_left: ManoModel, mano_right: ManoModel,
+                 img_size: int = 256, augment_train: bool = True,
+                 seed: int = 25):
+        assert split in ("train", "test", "val")
+        self.data_path = data_path
+        self.split = split
+        self.img_size = img_size
+        self.augment_train = augment_train and split == "train"
+        self.mano = {"left": NumpyMano(mano_left),
+                     "right": NumpyMano(mano_right)}
+        self.size = len(glob(osp.join(data_path, split, "anno", "*.pkl")))
+        self._rng = np.random.RandomState(seed)
+
+    def __len__(self) -> int:
+        return self.size
+
+    def _mano_gt(self, params: dict, hand: str, R: np.ndarray,
+                 T: np.ndarray, camera: np.ndarray):
+        """Stored MANO params -> camera-frame verts/joints + 2D pixels
+        (dataset/interhand.py:128-158)."""
+        root = np.asarray(params["R"], np.float32).reshape(1, 3, 3)
+        pose = np.asarray(params["pose"], np.float32).reshape(1, -1)
+        shape = np.asarray(params["shape"], np.float32).reshape(1, 10)
+        trans = np.asarray(params["trans"], np.float32).reshape(1, 3)
+        verts, joints = self.mano[hand](root, pose, shape, trans=trans,
+                                        center_idx=None)
+        verts = verts[0] @ R.T + T
+        joints = joints[0] @ R.T + T
+        v2 = verts @ camera.T
+        v2 = v2[:, :2] / v2[:, 2:]
+        j2 = joints @ camera.T
+        j2 = j2[:, :2] / j2[:, 2:]
+        return verts, joints, v2, j2
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        split, S = self.split, self.img_size
+        img = cv.imread(osp.join(self.data_path, split, "img", f"{idx}.jpg"))
+        mask = cv.imread(osp.join(self.data_path, split, "mask", f"{idx}.jpg"))
+        dense = cv.imread(
+            osp.join(self.data_path, split, "dense", f"{idx}.jpg"))
+        data = _load_anno(
+            osp.join(self.data_path, split, "anno", f"{idx}.pkl"))
+
+        R = np.asarray(data["camera"]["R"], np.float32)
+        T = np.asarray(data["camera"]["t"], np.float32)
+        camera = np.asarray(data["camera"]["camera"], np.float32)
+
+        vl, jl, v2l, j2l = self._mano_gt(data["mano_params"]["left"], "left",
+                                         R, T, camera)
+        vr, jr, v2r, j2r = self._mano_gt(data["mano_params"]["right"],
+                                         "right", R, T, camera)
+
+        do_flip = False
+        rng = self._rng
+        if self.augment_train:
+            scale, rot, tx, ty, do_flip = augment.sample_aug_config(rng)
+            if do_flip:
+                imgs, labels = augment.flip_images_labels(
+                    [img, mask, dense], [j2l, j2r, v2l, v2r], S)
+                img, mask, dense = imgs
+                j2r, j2l, v2r, v2l = labels
+                jr, jl, vr, vl = jl, jr, vl, vr
+
+            if rng.rand() <= 0.3:
+                img = augment.motion_blur(img, rng)
+
+            imgs, l2d, l3d = augment.affine_3d(
+                rot, scale, tx, ty, camera, [img, mask, dense],
+                [j2l, j2r, v2l, v2r],
+                [jl[:, 2:], jr[:, 2:], vl[:, 2:], vr[:, 2:]], S)
+            img, mask, dense = imgs
+            j2l, j2r, v2l, v2r = l2d
+            jl, jr, vl, vr = l3d
+
+        center_left = jl[9:10].copy()
+        center_right = jr[9:10].copy()
+        seg = augment.seg_from_mask(mask, do_flip)
+
+        if self.augment_train:
+            img = augment.add_noise(img, rng, noise=0.01)
+
+        img_norm = augment.normalize_image(img)
+        dense_norm = dense[:, :, ::-1].astype(np.float32) / 255.0
+
+        def nuv(l2d, l3d):
+            return np.concatenate(
+                [l2d / S * 2 - 1, l3d[:, 2:]], axis=-1).astype(np.float32)
+
+        return {
+            "img": img_norm,
+            "img_rgb": img[:, :, ::-1].astype(np.float32),
+            "seg": seg,
+            "dense": dense_norm,
+            "joint_2d_left": nuv(j2l, jl),
+            "joint_2d_right": nuv(j2r, jr),
+            "mesh_2d_left": nuv(v2l, vl),
+            "mesh_2d_right": nuv(v2r, vr),
+            "joint_3d_left": jl.astype(np.float32),
+            "joint_3d_right": jr.astype(np.float32),
+            "mesh_3d_left": vl.astype(np.float32),
+            "mesh_3d_right": vr.astype(np.float32),
+            "center_left": center_left.astype(np.float32),
+            "center_right": center_right.astype(np.float32),
+            "camera": camera,
+        }
+
+
+class InterHandRawEval:
+    """Eval dataset without augmentation, exposing raw GT for the metric
+    harness (reference: InterHand_dataset, dataset/interhand.py:31-94 +
+    handDataset, apps/eval.py:47-78)."""
+
+    def __init__(self, data_path: str, mano_left: ManoModel,
+                 mano_right: ManoModel, split: str = "test",
+                 img_size: int = 256):
+        self.inner = InterHandDataset(data_path, split, mano_left, mano_right,
+                                      img_size=img_size, augment_train=False)
+
+    def __len__(self):
+        return len(self.inner)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        s = self.inner[idx]
+        return {
+            "img": s["img"],
+            "joints_left_gt": s["joint_3d_left"],
+            "joints_right_gt": s["joint_3d_right"],
+            "verts_left_gt": s["mesh_3d_left"],
+            "verts_right_gt": s["mesh_3d_right"],
+            "camera": s["camera"],
+        }

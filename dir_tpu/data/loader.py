@@ -1,0 +1,98 @@
+"""Threaded prefetching batch loader.
+
+Replaces the reference's ``DataLoader(num_workers=16, pin_memory=True)``
+(train.py:208-220) with a thread-pool pipeline: per-sample decode/augment
+runs in worker threads (cv2/numpy release the GIL for the heavy parts)
+while the accelerator consumes the previous batch. Batches are collated
+into contiguous numpy arrays ready for ``jax.device_put`` with a sharded
+layout.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+def collate(samples) -> Dict[str, np.ndarray]:
+    out = {}
+    for key in samples[0]:
+        out[key] = np.stack([s[key] for s in samples])
+    return out
+
+
+class BatchLoader:
+    """Iterable over shuffled, collated batches with background prefetch."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 drop_last: bool = True, num_threads: int = 4,
+                 prefetch: int = 2, seed: int = 0,
+                 pad_last: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.pad_last = pad_last
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+        self._epoch = 0
+        self._seed = seed
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self):
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.RandomState(self._seed + self._epoch)
+            rng.shuffle(idx)
+        batches = []
+        for s in range(0, n, self.batch_size):
+            chunk = idx[s:s + self.batch_size]
+            if len(chunk) < self.batch_size:
+                if self.drop_last:
+                    continue
+                if self.pad_last:
+                    # Static shapes for XLA: repeat the last sample and
+                    # report the real count so metrics can mask padding.
+                    pad = np.full(self.batch_size - len(chunk), chunk[-1])
+                    batches.append((np.concatenate([chunk, pad]), len(chunk)))
+                    continue
+            batches.append((chunk, len(chunk)))
+        return batches
+
+    def __iter__(self) -> Iterator:
+        batches = self._index_batches()
+        self._epoch += 1
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_threads) as pool:
+                for chunk, valid in batches:
+                    if stop.is_set():
+                        return
+                    samples = list(pool.map(self.dataset.__getitem__, chunk))
+                    batch = collate(samples)
+                    batch["_valid"] = np.asarray(valid, np.int32)
+                    q.put(batch)
+            q.put(None)
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()

@@ -1,0 +1,350 @@
+"""The DIR network: backbone -> initial MANO regression -> two decoupled
+joint-space/image-space refinement stages -> segmentation/dense heads.
+
+Reimplements models/dir.py from the reference as functional flax modules,
+NHWC, with the two MANO models threaded through as constant pytrees (the
+reference constructs four separate MANO layer pairs — models/dir.py:
+221-224, 315-318 — which collapse into one shared pair here).
+
+Stop-gradient placement follows the reference exactly:
+  * sampling coordinates into grid_sample (dir.py:198),
+  * previous-stage MANO params inside RegressorOffset (dir.py:344-345),
+  * all previous-stage outputs fed into each refinement stage
+    (dir.py:446-453, 463-469).
+Gradient DOES flow from the bone-splat back into the current stage's
+regressed 2D joints (dir.py:120-121) — preserved.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dir_tpu.config import ModelConfig
+from dir_tpu.mano.assets import ManoModel
+from dir_tpu.mano.layer import mano_forward_pca6d
+from dir_tpu.models.layers import (MLP1d, Residual, conv_init_normal,
+                                   conv_kernel_init, upsample2x, BN_EPS,
+                                   BN_MOMENTUM)
+from dir_tpu.models.resnet import ResNetPyramid
+from dir_tpu.models.gcn import ResSimplePGCN, hand_adjacency
+from dir_tpu.models.transformer import STE
+from dir_tpu.ops.bone_splat import bone_splat
+from dir_tpu.ops.projection import ortho_project
+from dir_tpu.ops.sampling import grid_sample_nhwc
+
+sg = jax.lax.stop_gradient
+
+
+def _bn(train: bool, name: str) -> nn.BatchNorm:
+    return nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                        epsilon=BN_EPS, name=name)
+
+
+def _mano_and_project(mano_left: ManoModel, mano_right: ManoModel,
+                      para_left: jnp.ndarray, para_right: jnp.ndarray,
+                      root_joint: int) -> dict:
+    """Run both MANO hands + weak-perspective projection from a (B, 64)
+    parameter vector each: [6D root + 45 PCA | 10 betas | scale, tx, ty]
+    (reference: models/dir.py:272-280, 353-361)."""
+    pose_l, beta_l, cam_l = jnp.split(para_left, [51, 61], axis=-1)
+    pose_r, beta_r, cam_r = jnp.split(para_right, [51, 61], axis=-1)
+    mesh_l, joint_l = mano_forward_pca6d(mano_left, pose_l, beta_l,
+                                         center_idx=root_joint)
+    mesh_r, joint_r = mano_forward_pca6d(mano_right, pose_r, beta_r,
+                                         center_idx=root_joint)
+    out = {
+        "pd_mano_para_left": para_left,
+        "pd_mano_para_right": para_right,
+        "pd_proj_left": cam_l,
+        "pd_proj_right": cam_r,
+        "pd_mesh_xyz_left": mesh_l,
+        "pd_mesh_xyz_right": mesh_r,
+        "pd_joint_xyz_left": joint_l,
+        "pd_joint_xyz_right": joint_r,
+        "pd_joint_uv_left": ortho_project(cam_l[:, 0], cam_l[:, 1:], joint_l),
+        "pd_joint_uv_right": ortho_project(cam_r[:, 0], cam_r[:, 1:], joint_r),
+        "pd_mesh_uv_left": ortho_project(cam_l[:, 0], cam_l[:, 1:], mesh_l),
+        "pd_mesh_uv_right": ortho_project(cam_r[:, 0], cam_r[:, 1:], mesh_r),
+    }
+    return out
+
+
+class ImgToJointFeature(nn.Module):
+    """Sample image features at 2D joints, then a per-joint MLP
+    (models/dir.py:177-200)."""
+
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, img_feat: jnp.ndarray, joint_uv: jnp.ndarray,
+                 train: bool = False) -> jnp.ndarray:
+        sampled = grid_sample_nhwc(img_feat, sg(joint_uv))  # (B, 21, C)
+        return MLP1d(self.out_dim, self.out_dim, name="filters")(
+            sampled, train)
+
+
+class AttentionPool(nn.Module):
+    """Spatial-attention pooling head (models/dir.py:227-241,263-266)."""
+
+    @nn.compact
+    def __call__(self, feat: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        c = feat.shape[-1]
+        a = nn.Conv(c // 2, (3, 3), padding="SAME",
+                    kernel_init=conv_kernel_init, name="conv1")(feat)
+        a = nn.relu(_bn(train, "bn")(a))
+        a = nn.Conv(1, (1, 1), kernel_init=conv_kernel_init, name="conv2")(a)
+        a = nn.sigmoid(a)
+        num = jnp.sum(feat * a, axis=(1, 2))
+        den = jnp.sum(a, axis=(1, 2)) + 1e-8
+        return num / den
+
+
+class InitRegressor(nn.Module):
+    """Initial MANO parameter regression from c4 (models/dir.py:218-305)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, feat: jnp.ndarray, mano_left: ManoModel,
+                 mano_right: ManoModel, train: bool = False) -> dict:
+        head_init = conv_init_normal(0.001)
+        feat_left = AttentionPool(name="attention_left")(feat, train)
+        feat_right = AttentionPool(name="attention_right")(feat, train)
+
+        pd_offset = nn.Dense(3, kernel_init=head_init, name="offset")(
+            jnp.mean(feat, axis=(1, 2)))
+        para_left = nn.Dense(self.cfg.mano_param_dim, kernel_init=head_init,
+                             name="mano_left")(feat_left)
+        para_right = nn.Dense(self.cfg.mano_param_dim, kernel_init=head_init,
+                              name="mano_right")(feat_right)
+
+        out = _mano_and_project(mano_left, mano_right, para_left, para_right,
+                                self.cfg.root_joint)
+        out["pd_offset"] = pd_offset
+        return out
+
+
+class RegressorOffset(nn.Module):
+    """Iterative-update MANO head (models/dir.py:312-381): concat flattened
+    joint features with the (detached) previous parameters and predict the
+    new full parameter vector."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, joint_feat_left: jnp.ndarray,
+                 joint_feat_right: jnp.ndarray,
+                 prev_para_left: jnp.ndarray, prev_para_right: jnp.ndarray,
+                 prev_offset: jnp.ndarray,
+                 mano_left: ManoModel, mano_right: ManoModel,
+                 train: bool = False) -> dict:
+        head_init = conv_init_normal(0.001)
+        b = joint_feat_left.shape[0]
+        flat_l = joint_feat_left.reshape(b, -1)
+        flat_r = joint_feat_right.reshape(b, -1)
+
+        glob_l = jnp.concatenate([flat_l, sg(prev_para_left)], axis=-1)
+        glob_r = jnp.concatenate([flat_r, sg(prev_para_right)], axis=-1)
+        glob = jnp.concatenate([flat_l, flat_r, prev_offset], axis=-1)
+
+        pd_offset = nn.Dense(3, kernel_init=head_init, name="offset")(glob)
+        para_left = nn.Dense(self.cfg.mano_param_dim, kernel_init=head_init,
+                             name="mano_left")(glob_l)
+        para_right = nn.Dense(self.cfg.mano_param_dim, kernel_init=head_init,
+                              name="mano_right")(glob_r)
+
+        out = _mano_and_project(mano_left, mano_right, para_left, para_right,
+                                self.cfg.root_joint)
+        out["pd_offset"] = pd_offset
+        return out
+
+
+class RefineStage(nn.Module):
+    """One decoupled refinement stage (Joint2BoneFeature,
+    models/dir.py:19-174): joint-space interaction (image sampling + GCN +
+    cross-hand transformer), MANO parameter update, and image-space
+    re-projection via bone splatting."""
+
+    cfg: ModelConfig
+    feature_size: int
+    distance: float
+
+    @nn.compact
+    def __call__(self, img_feat: jnp.ndarray, prev: dict,
+                 mano_left: ManoModel, mano_right: ManoModel,
+                 train: bool = False):
+        cfg = self.cfg
+        emd, jdim = cfg.embed_dim, cfg.joint_dim
+        scale = cfg.coord_scale
+
+        xyz_l = sg(prev["pd_joint_xyz_left"])
+        xyz_r = sg(prev["pd_joint_xyz_right"])
+        uv_l = sg(prev["pd_joint_uv_left"])
+        uv_r = sg(prev["pd_joint_uv_right"])
+        para_l = sg(prev["pd_mano_para_left"])
+        para_r = sg(prev["pd_mano_para_right"])
+        offset = sg(prev["pd_offset"])  # (B, 3)
+
+        # --- joint-space interaction ---
+        jif_l = ImgToJointFeature(emd, name="img2joint_left")(
+            img_feat, uv_l, train)
+        jif_r = ImgToJointFeature(emd, name="img2joint_right")(
+            img_feat, uv_r, train)
+        jpf_l = MLP1d(emd, emd, name="pos_emb_left")(xyz_l / scale, train)
+        jpf_r = MLP1d(emd, emd, name="pos_emb_right")(xyz_r / scale, train)
+
+        adj = tuple(map(tuple, hand_adjacency(cfg.joint_num)))
+        feat_l = ResSimplePGCN(emd, cfg.gcn_layers, adj, name="gcn_left")(
+            jif_l + jpf_l, train)
+        feat_r = ResSimplePGCN(emd, cfg.gcn_layers, adj, name="gcn_right")(
+            jif_r + jpf_r, train)
+
+        global_emb = MLP1d(emd, emd, name="global_pos_emb")
+        off = offset[:, None, :]  # (B, 1, 3)
+        gpf_l = global_emb(xyz_l / scale - off / 2, train)
+        gpf_r = global_emb(xyz_r / scale + off / 2, train)
+        feat_l = feat_l + gpf_l
+        feat_r = feat_r + gpf_r
+
+        tokens = jnp.concatenate([feat_l, feat_r], axis=1)  # (B, 42, emd)
+        tokens = STE(num_joints=2 * cfg.joint_num, in_chans=emd,
+                     out_dim=jdim, depth=cfg.ste_depth,
+                     num_heads=cfg.ste_heads, mlp_ratio=cfg.ste_mlp_ratio,
+                     name="interaction")(tokens)
+        feat_l, feat_r = jnp.split(tokens, 2, axis=1)  # (B, 21, jdim)
+
+        result = RegressorOffset(cfg, name="regressor")(
+            feat_l, feat_r, para_l, para_r, offset,
+            mano_left, mano_right, train)
+
+        # --- image-space re-projection ---
+        proj_emb = MLP1d(jdim, jdim, name="proj_feat_emb")
+        pf_l = proj_emb(feat_l, train)
+        pf_r = proj_emb(feat_r, train)
+        splat_l = bone_splat(result["pd_joint_uv_left"], pf_l,
+                             self.feature_size, self.distance)
+        splat_r = bone_splat(result["pd_joint_uv_right"], pf_r,
+                             self.feature_size, self.distance)
+        fused = jnp.concatenate([splat_l, splat_r], axis=-1)
+        fused = nn.Conv(img_feat.shape[-1], (3, 3), padding="SAME",
+                        kernel_init=conv_kernel_init, name="fusion_conv1")(
+            fused)
+        fused = nn.relu(_bn(train, "fusion_bn")(fused))
+        fused = nn.Conv(img_feat.shape[-1], (1, 1),
+                        kernel_init=conv_kernel_init, name="fusion_conv2")(
+            fused)
+
+        feats = {
+            "img_feat": fused,
+            "joint_feat_left": feat_l,
+            "joint_feat_right": feat_r,
+            "vis_img_feat": splat_l + splat_r,
+        }
+        return result, feats
+
+
+class SegDenseHead(nn.Module):
+    """3-class segmentation / dense-correspondence head
+    (models/dir.py:411-420)."""
+
+    out_ch: int = 3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        c = x.shape[-1]
+        x = nn.Conv(c // 2, (3, 3), padding="SAME",
+                    kernel_init=conv_kernel_init, name="conv1")(x)
+        x = nn.relu(_bn(train, "bn")(x))
+        return nn.Conv(self.out_ch, (1, 1), kernel_init=conv_kernel_init,
+                       name="conv2")(x)
+
+
+class Decoder(nn.Module):
+    """FPN-style decoder with two refinement stages
+    (FusionJointInterIterDecoder, models/dir.py:389-483)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, feats, init_out: dict, mano_left: ManoModel,
+                 mano_right: ManoModel, train: bool = False) -> dict:
+        cfg = self.cfg
+        d = cfg.decoder_dim
+        c1, c2, c3, c4 = feats
+        outputs = []
+
+        # Stage 1 @ 16x16 (dir.py:441-456)
+        c4_up = upsample2x(c4)
+        c3_skip = Residual(d, name="skip_layer4")(c3, train)
+        fusion = Residual(d, name="fusion_layer4")(
+            jnp.concatenate([c4_up, c3_skip], axis=-1), train)
+        # Feature size derived from the actual map (16 at 256^2 input) so
+        # the model is input-size agnostic; distances stay configured.
+        result, stage_feats = RefineStage(
+            cfg, fusion.shape[1], cfg.stage_distances[0],
+            name="projecter_4")(fusion, init_out, mano_left, mano_right,
+                                train)
+        enhance = Residual(d, name="enhance_layer4")(
+            jnp.concatenate([fusion, stage_feats["img_feat"]], axis=-1),
+            train)
+        outputs.append(result)
+
+        # Stage 2 @ 32x32 (dir.py:458-471)
+        c3_up = upsample2x(enhance)
+        c2_skip = Residual(d, name="skip_layer3")(c2, train)
+        fusion = Residual(d, name="fusion_layer3")(
+            jnp.concatenate([c3_up, c2_skip], axis=-1), train)
+        result, stage_feats = RefineStage(
+            cfg, fusion.shape[1], cfg.stage_distances[1],
+            name="projecter_3")(fusion, result, mano_left, mano_right, train)
+        enhance = Residual(d, name="enhance_layer3")(
+            jnp.concatenate([fusion, stage_feats["img_feat"]], axis=-1),
+            train)
+        outputs.append(result)
+
+        # Final seg / dense heads @ 32x32 (dir.py:404-420,474-476)
+        x = nn.Conv(d, (3, 3), padding="SAME", use_bias=False,
+                    kernel_init=conv_kernel_init, name="final_conv1")(enhance)
+        x = nn.relu(_bn(train, "final_bn")(x))
+        x = nn.Conv(d, (1, 1), kernel_init=conv_kernel_init,
+                    name="final_conv2")(x)
+        seg = SegDenseHead(name="seg")(x, train)
+        dense = SegDenseHead(name="dense")(x, train)
+
+        return {
+            "result_list": outputs,
+            "seg": seg,
+            "dense": dense,
+            "proj_feat": stage_feats["vis_img_feat"],
+        }
+
+
+class DIR(nn.Module):
+    """Full DIR network (models/dir.py:486-540 without the loss block —
+    losses live in dir_tpu.models.losses).
+
+    Call with an NHWC image batch; returns a dict:
+        stages: list of 3 per-stage output dicts (init + 2 refinements)
+        seg, dense: (B, 32, 32, 3) head outputs
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, img: jnp.ndarray, mano_left: ManoModel,
+                 mano_right: ManoModel, train: bool = False) -> dict:
+        feats = ResNetPyramid(layers=self.cfg.backbone_layers,
+                              name="backbone")(img, train)
+        init_out = InitRegressor(self.cfg, name="init_regressor")(
+            feats[-1], mano_left, mano_right, train)
+        decode = Decoder(self.cfg, name="decoder")(
+            feats, init_out, mano_left, mano_right, train)
+        return {
+            "stages": [init_out] + decode["result_list"],
+            "seg": decode["seg"],
+            "dense": decode["dense"],
+        }

@@ -1,0 +1,133 @@
+"""Semantic graph convolutions over the 21-joint hand skeleton.
+
+Reimplements the reference's PGraphConv / ResSimplePGCN
+(SemGCN/p_graph_conv.py:9-62, SemGCN/p_gcn.py:63-73): per-node weight
+matrices for the self and one-hop terms, with learned edge weights
+softmax-normalized over each row's neighborhood. Dense 21x21 adjacency —
+trivially MXU-shaped, no sparse machinery needed on TPU.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from dir_tpu.models.layers import BN_EPS, BN_MOMENTUM
+
+# 21-joint hand skeleton edges (SemGCN/utils.py:66-71).
+HAND_EDGES = (
+    (0, 1), (1, 2), (2, 3), (3, 4),
+    (0, 5), (5, 6), (6, 7), (7, 8),
+    (0, 9), (9, 10), (10, 11), (11, 12),
+    (0, 13), (13, 14), (14, 15), (15, 16),
+    (0, 17), (17, 18), (18, 19), (19, 20),
+)
+
+
+def hand_adjacency(num_joints: int = 21) -> np.ndarray:
+    """Symmetric binary one-hop adjacency (no self loops).
+
+    The reference row-normalizes (SemGCN/utils.py:27-43) but PGraphConv
+    only consumes the nonzero mask, so the binary matrix is equivalent.
+    """
+    adj = np.zeros((num_joints, num_joints), np.float32)
+    for i, j in HAND_EDGES:
+        adj[i, j] = 1.0
+        adj[j, i] = 1.0
+    return adj
+
+
+class PGraphConv(nn.Module):
+    """Two-branch graph conv with per-node weights and learned edge softmax.
+
+    Branch 0 aggregates over self-loops (softmax over a single unmasked
+    entry per row == identity, but kept faithful), branch 1 over one-hop
+    neighbors.
+    """
+
+    out_features: int
+    adjacency: tuple  # static nested tuple (J, J) of 0/1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, J, C)
+        j = x.shape[1]
+        cin = x.shape[-1]
+        adj = jnp.asarray(np.asarray(self.adjacency, np.float32))
+        mask1 = adj > 0
+        mask0 = jnp.eye(j, dtype=bool)
+
+        w = self.param("w", nn.initializers.xavier_uniform(),
+                       (2, j, cin, self.out_features))
+        # Learned edge scores, one per nonzero entry, init 1
+        # (p_graph_conv.py:24-30).
+        e0 = self.param("e0", nn.initializers.ones, (j,))
+        n_edges = int(np.asarray(self.adjacency).sum())
+        e1 = self.param("e1", nn.initializers.ones, (n_edges,))
+
+        neg = jnp.asarray(-9e15, x.dtype)
+        a0 = jnp.where(mask0, jnp.diag(e0), neg)
+        # Scatter e1 into mask1 positions in row-major order.
+        flat_idx = np.nonzero(np.asarray(self.adjacency).reshape(-1) > 0)[0]
+        a1 = jnp.full((j * j,), neg, x.dtype).at[
+            jnp.asarray(flat_idx)].set(e1).reshape(j, j)
+
+        a0 = nn.softmax(a0, axis=1)
+        a1 = nn.softmax(a1, axis=1)
+        del mask1  # the mask is encoded in a1's -inf pattern
+
+        h0 = jnp.einsum("bjc,jcd->bjd", x, w[0])
+        h1 = jnp.einsum("bjc,jcd->bjd", x, w[1])
+        out = jnp.einsum("jk,bkd->bjd", a0, h0) + jnp.einsum(
+            "jk,bkd->bjd", a1, h1)
+
+        bias = self.param("bias", _pgc_bias_init(j), (self.out_features,))
+        return out + bias
+
+
+def _pgc_bias_init(j: int):
+    """Uniform(-1/sqrt(J), 1/sqrt(J)) — stdv uses W.size(1)=J in the
+    reference (p_graph_conv.py:33-34)."""
+    bound = 1.0 / np.sqrt(j)
+
+    def init(key, shape, dtype=jnp.float32):
+        import jax
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class GraphConvBlock(nn.Module):
+    """PGraphConv -> BatchNorm(features) -> ReLU (SemGCN/p_gcn.py:7-27)."""
+
+    out_features: int
+    adjacency: tuple
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = PGraphConv(self.out_features, self.adjacency, name="gconv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, name="bn")(x)
+        return nn.relu(x)
+
+
+class ResSimplePGCN(nn.Module):
+    """Stack of GraphConvBlocks at constant width (SemGCN/p_gcn.py:63-73).
+
+    Note: despite the name there is no residual connection in the
+    reference either — it is a plain sequential stack.
+    """
+
+    hidden_dim: int
+    num_layers: int = 4
+    adjacency: tuple = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        adj = self.adjacency
+        if adj is None:
+            adj = tuple(map(tuple, hand_adjacency(x.shape[1])))
+        for i in range(self.num_layers):
+            x = GraphConvBlock(self.hidden_dim, adj, name=f"layer{i}")(
+                x, train)
+        return x

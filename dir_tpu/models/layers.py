@@ -1,0 +1,117 @@
+"""Shared conv building blocks (NHWC, flax.linen).
+
+``Residual`` is the hourglass bottleneck residual used throughout the
+decoder (reference: models/backbone/hourglass.py:33-70): BN-ReLU-1x1 ->
+BN-ReLU-3x3 -> BN-ReLU-1x1 with a 1x1 skip when channel counts differ.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+# torch BatchNorm defaults: eps=1e-5, momentum=0.1 (flax momentum is the
+# retained fraction of the old stat => 0.9).
+BN_MOMENTUM = 0.9
+BN_EPS = 1e-5
+
+# Kaiming-normal fan_out, matching the reference's conv init
+# (models/dir.py:77-84 and torchvision's ResNet init).
+conv_kernel_init = nn.initializers.variance_scaling(2.0, "fan_out",
+                                                    "truncated_normal")
+
+
+def conv_init_normal(std: float):
+    return nn.initializers.normal(stddev=std)
+
+
+class ConvBNRelu(nn.Module):
+    """Conv -> optional BN -> optional ReLU."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    use_bn: bool = True
+    use_relu: bool = True
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride), padding="SAME",
+                    use_bias=self.use_bias, kernel_init=conv_kernel_init,
+                    name="conv")(x)
+        if self.use_bn:
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                             name="bn")(x)
+        if self.use_relu:
+            x = nn.relu(x)
+        return x
+
+
+class Residual(nn.Module):
+    """Hourglass pre-activation bottleneck residual
+    (models/backbone/hourglass.py:33-70)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        half = self.features // 2
+        in_dim = x.shape[-1]
+        if in_dim == self.features:
+            skip = x
+        else:
+            skip = nn.Conv(self.features, (1, 1), use_bias=True,
+                           kernel_init=conv_kernel_init, name="skip")(x)
+
+        def bn(name):
+            return nn.BatchNorm(use_running_average=not train,
+                                momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                                name=name)
+
+        out = nn.relu(bn("bn1")(x))
+        out = nn.Conv(half, (1, 1), use_bias=True,
+                      kernel_init=conv_kernel_init, name="conv1")(out)
+        out = nn.relu(bn("bn2")(out))
+        out = nn.Conv(half, (3, 3), padding="SAME", use_bias=True,
+                      kernel_init=conv_kernel_init, name="conv2")(out)
+        out = nn.relu(bn("bn3")(out))
+        out = nn.Conv(self.features, (1, 1), use_bias=True,
+                      kernel_init=conv_kernel_init, name="conv3")(out)
+        return out + skip
+
+
+class MLP1d(nn.Module):
+    """Conv1d(k=1) -> BN -> ReLU -> Conv1d(k=1) over (B, N, C) token sets.
+
+    The reference expresses per-token MLPs as 1x1 Conv1d stacks (e.g. the
+    positional embeddings at models/dir.py:31-48); on (B, N, C) data a 1x1
+    conv is a Dense layer, which maps straight onto the MXU.
+    """
+
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, name="bn")(x)
+        x = nn.relu(x)
+        x = nn.Dense(self.out, name="fc2")(x)
+        return x
+
+
+def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear 2x upsampling with torch ``nn.Upsample(align_corners=False)``
+    semantics (reference: models/dir.py:392,398).
+
+    For an exact 2x scale with align_corners=False, the output pixel i
+    samples input coordinate (i + 0.5)/2 - 0.5 — jax.image.resize with
+    method='linear' implements the same half-pixel convention.
+    """
+    b, h, w, c = x.shape
+    import jax
+    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="linear")

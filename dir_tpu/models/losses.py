@@ -1,0 +1,196 @@
+"""DIR training losses and assembly.
+
+Reimplements models/loss.py (custom SmoothL1 / normal / edge),
+models/lovasz_loss.py (Lovász-softmax, jit-safe via presence masking
+instead of Python-level class skipping), weighted cross-entropy, and the
+full loss assembly of models/dir.py:504-594 with identical weights.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from dir_tpu.config import ModelConfig
+
+
+def smooth_l1(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Piecewise MSE/L1 with 0.01 threshold, per-sample mean over the
+    flattened residual then batch mean (models/loss.py:63-91)."""
+    b = x.shape[0]
+    z = (x - y).reshape(b, -1)
+    az = jnp.abs(z)
+    mse = 0.5 * z * z
+    l1 = 0.01 * (az - 0.005)
+    per_elem = jnp.where(az < 0.01, mse, l1)
+    return jnp.mean(jnp.mean(per_elem, axis=-1))
+
+
+def _normalize(v: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """torch F.normalize semantics: v / max(||v||, eps)."""
+    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    return v / jnp.maximum(n, eps)
+
+
+def normal_vector_loss(coord_out: jnp.ndarray, coord_gt: jnp.ndarray,
+                       faces: jnp.ndarray) -> jnp.ndarray:
+    """|cos| between predicted edges and GT face normals
+    (models/loss.py:6-33)."""
+    f0, f1, f2 = faces[:, 0], faces[:, 1], faces[:, 2]
+    v1o = _normalize(coord_out[:, f1] - coord_out[:, f0])
+    v2o = _normalize(coord_out[:, f2] - coord_out[:, f0])
+    v3o = _normalize(coord_out[:, f2] - coord_out[:, f1])
+    v1g = _normalize(coord_gt[:, f1] - coord_gt[:, f0])
+    v2g = _normalize(coord_gt[:, f2] - coord_gt[:, f0])
+    ng = _normalize(jnp.cross(v1g, v2g))
+    cos1 = jnp.abs(jnp.sum(v1o * ng, -1))
+    cos2 = jnp.abs(jnp.sum(v2o * ng, -1))
+    cos3 = jnp.abs(jnp.sum(v3o * ng, -1))
+    return jnp.mean(jnp.stack([cos1, cos2, cos3]))
+
+
+def edge_length_loss(coord_out: jnp.ndarray, coord_gt: jnp.ndarray,
+                     faces: jnp.ndarray) -> jnp.ndarray:
+    """|edge-length difference| over faces (models/loss.py:36-60)."""
+    f0, f1, f2 = faces[:, 0], faces[:, 1], faces[:, 2]
+
+    def elen(c, a, b):
+        return jnp.sqrt(jnp.sum((c[:, a] - c[:, b]) ** 2, -1) + 1e-12)
+
+    d1 = jnp.abs(elen(coord_out, f0, f1) - elen(coord_gt, f0, f1))
+    d2 = jnp.abs(elen(coord_out, f0, f2) - elen(coord_gt, f0, f2))
+    d3 = jnp.abs(elen(coord_out, f1, f2) - elen(coord_gt, f1, f2))
+    return jnp.mean(jnp.stack([d1, d2, d3]))
+
+
+def weighted_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
+                           class_weights) -> jnp.ndarray:
+    """torch nn.CrossEntropyLoss(weight=w) semantics: weighted mean of
+    per-pixel NLL, normalized by the summed weights of the taken classes.
+
+    logits: (B, H, W, C); labels: (B, H, W) int.
+    """
+    w = jnp.asarray(class_weights, logits.dtype)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    pix_w = w[labels]
+    return jnp.sum(nll * pix_w) / jnp.sum(pix_w)
+
+
+def _lovasz_grad(gt_sorted: jnp.ndarray) -> jnp.ndarray:
+    """Gradient of the Lovász extension w.r.t. sorted errors
+    (lovasz_loss.py:19-31)."""
+    gts = jnp.sum(gt_sorted)
+    intersection = gts - jnp.cumsum(gt_sorted)
+    union = gts + jnp.cumsum(1.0 - gt_sorted)
+    jaccard = 1.0 - intersection / union
+    return jnp.concatenate([jaccard[:1], jaccard[1:] - jaccard[:-1]])
+
+
+def lovasz_softmax(probas: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Multi-class Lovász-softmax surrogate (lovasz_loss.py:155-201),
+    classes='present', per_image=False.
+
+    probas: (B, H, W, C) — NOTE the reference feeds raw logits here
+    (models/dir.py:569) and we keep that behavior; labels: (B, H, W) int.
+
+    jit-safe: every class is computed and masked by presence rather than
+    skipped in Python.
+    """
+    c = probas.shape[-1]
+    flat = probas.reshape(-1, c)
+    lab = labels.reshape(-1)
+
+    def class_loss(ci):
+        fg = (lab == ci).astype(flat.dtype)
+        errors = jnp.abs(fg - flat[:, ci])
+        order = jnp.argsort(-errors)
+        errors_sorted = errors[order]
+        fg_sorted = fg[order]
+        grad = _lovasz_grad(fg_sorted)
+        return jnp.dot(jax.nn.relu(errors_sorted), grad), jnp.sum(fg) > 0
+
+    losses, present = zip(*[class_loss(ci) for ci in range(c)])
+    losses = jnp.stack(losses)
+    present = jnp.stack(present).astype(losses.dtype)
+    return jnp.sum(losses * present) / jnp.maximum(jnp.sum(present), 1.0)
+
+
+def dir_losses(outputs: dict, targets: dict, cfg: ModelConfig,
+               faces_left: jnp.ndarray, faces_right: jnp.ndarray) -> dict:
+    """Full DIR loss dict (models/dir.py:541-594). Sum the values for the
+    total training loss (train.py:69).
+
+    targets (all NHWC / batch-first, fp32 unless noted):
+        joint_2d_{left,right}: (B, 21, 3) [-1,1] uv + depth
+        mesh_2d_{left,right}: (B, 778, 3)
+        joint_3d_{left,right}: (B, 21, 3) meters (camera frame)
+        mesh_3d_{left,right}: (B, 778, 3)
+        center_{left,right}: (B, 1, 3) MCP joint (9) position
+        seg: (B, 256, 256) int32 {0 bg, 1 left, 2 right}
+        dense: (B, 256, 256, 3) dense correspondence colors in [0, 1]
+    """
+    s = cfg.coord_scale
+    loss = {}
+
+    # --- seg / dense heads at 32x32 (dir.py:562-569) ---
+    seg_logits = outputs["seg"]
+    map_size = seg_logits.shape[1]
+    stride = targets["seg"].shape[1] // map_size
+    # torch nearest-downsample picks src index dst*stride exactly.
+    gt_seg = targets["seg"][:, ::stride, ::stride]
+    gt_dense = jax.image.resize(
+        targets["dense"],
+        (targets["dense"].shape[0], map_size, map_size, 3), method="linear")
+    loss["seg"] = weighted_cross_entropy(
+        seg_logits, gt_seg, cfg.seg_class_weights) * cfg.seg_weight * \
+        cfg.dense_weight
+    loss["dense"] = smooth_l1(outputs["dense"], gt_dense) * cfg.dense_weight
+    loss["lovasz"] = lovasz_softmax(seg_logits, gt_seg) * \
+        cfg.lovasz_weight * cfg.dense_weight
+
+    # --- per-stage coordinate losses (dir.py:571-594) ---
+    cl = targets["center_left"]
+    cr = targets["center_right"]
+    gt_j_l = (targets["joint_3d_left"] - cl) / s
+    gt_j_r = (targets["joint_3d_right"] - cr) / s
+    gt_m_l = (targets["mesh_3d_left"] - cl) / s
+    gt_m_r = (targets["mesh_3d_right"] - cr) / s
+    gt_offset = ((cr - cl) / s)[:, 0]
+
+    cw = cfg.coord_weight
+    for i, out in enumerate(outputs["stages"]):
+        loss[f"joint_left_uv_{i}"] = smooth_l1(
+            out["pd_joint_uv_left"], targets["joint_2d_left"][:, :, :2]) * cw
+        loss[f"joint_right_uv_{i}"] = smooth_l1(
+            out["pd_joint_uv_right"], targets["joint_2d_right"][:, :, :2]) * cw
+        loss[f"mesh_left_uv_{i}"] = smooth_l1(
+            out["pd_mesh_uv_left"], targets["mesh_2d_left"][:, :, :2]) * cw
+        loss[f"mesh_right_uv_{i}"] = smooth_l1(
+            out["pd_mesh_uv_right"], targets["mesh_2d_right"][:, :, :2]) * cw
+
+        j_l = out["pd_joint_xyz_left"] / s
+        j_r = out["pd_joint_xyz_right"] / s
+        m_l = out["pd_mesh_xyz_left"] / s
+        m_r = out["pd_mesh_xyz_right"] / s
+        loss[f"joint_left_xyz_{i}"] = smooth_l1(j_l, gt_j_l) * cw
+        loss[f"joint_right_xyz_{i}"] = smooth_l1(j_r, gt_j_r) * cw
+        loss[f"mesh_left_xyz_{i}"] = smooth_l1(m_l, gt_m_l) * cw
+        loss[f"mesh_right_xyz_{i}"] = smooth_l1(m_r, gt_m_r) * cw
+
+        loss[f"edge_left_{i}"] = edge_length_loss(
+            m_l, gt_m_l, faces_left) * cfg.edge_weight
+        loss[f"edge_right_{i}"] = edge_length_loss(
+            m_r, gt_m_r, faces_right) * cfg.edge_weight
+        loss[f"normal_left_{i}"] = normal_vector_loss(
+            m_l, gt_m_l, faces_left) * cfg.normal_weight
+        loss[f"normal_right_{i}"] = normal_vector_loss(
+            m_r, gt_m_r, faces_right) * cfg.normal_weight
+
+        loss[f"offset_{i}"] = smooth_l1(out["pd_offset"], gt_offset) * cw
+
+    return loss
+
+
+def total_loss(loss_dict: dict) -> jnp.ndarray:
+    return sum(loss_dict.values())

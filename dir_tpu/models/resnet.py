@@ -1,0 +1,89 @@
+"""ResNet-50 backbone returning the 4-level feature pyramid (NHWC).
+
+Matches the torchvision-style v1.5 bottleneck network the reference uses
+(models/backbone/resnet.py:85-258): stride-2 at the 3x3 conv, no
+avgpool/fc (the reference builds them but never calls them in the pyramid
+path — we simply don't have them). Returns [c1, c2, c3, c4] at strides
+4/8/16/32 with channels 256/512/1024/2048.
+
+ImageNet weights: the reference copies torchvision IMAGENET1K_V2 weights
+at construction (models/dir.py:490-498). Here pretrained weights come via
+the checkpoint converter (dir_tpu.train.checkpoint.import_torch_resnet50)
+when a local torchvision state-dict file is available — there is no
+network download inside model construction.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from dir_tpu.models.layers import BN_EPS, BN_MOMENTUM, conv_kernel_init
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        def bn(name):
+            return nn.BatchNorm(use_running_average=not train,
+                                momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                                name=name)
+
+        identity = x
+        out = nn.Conv(self.planes, (1, 1), use_bias=False,
+                      kernel_init=conv_kernel_init, name="conv1")(x)
+        out = nn.relu(bn("bn1")(out))
+        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                      padding="SAME", use_bias=False,
+                      kernel_init=conv_kernel_init, name="conv2")(out)
+        out = nn.relu(bn("bn2")(out))
+        out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
+                      kernel_init=conv_kernel_init, name="conv3")(out)
+        out = bn("bn3")(out)
+
+        if self.downsample:
+            identity = nn.Conv(self.planes * self.expansion, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, kernel_init=conv_kernel_init,
+                               name="down_conv")(x)
+            identity = bn("down_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class ResNetPyramid(nn.Module):
+    """ResNet backbone emitting [c1, c2, c3, c4]."""
+
+    layers: Sequence[int] = (3, 4, 6, 3)  # resnet50
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, kernel_init=conv_kernel_init,
+                    name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)))
+
+        feats = []
+        planes = (64, 128, 256, 512)
+        for stage, (blocks, p) in enumerate(zip(self.layers, planes)):
+            stride = 1 if stage == 0 else 2
+            x = Bottleneck(p, stride=stride, downsample=True,
+                           name=f"layer{stage + 1}_0")(x, train)
+            for b in range(1, blocks):
+                x = Bottleneck(p, name=f"layer{stage + 1}_{b}")(x, train)
+            feats.append(x)
+        return feats
+
+
+def resnet50() -> ResNetPyramid:
+    return ResNetPyramid(layers=(3, 4, 6, 3))

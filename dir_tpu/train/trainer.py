@@ -1,0 +1,166 @@
+"""Trainer: epoch loop, logging, checkpointing, in-loop eval.
+
+Functional equivalent of the reference Trainer/Tester (train.py:103-336)
+re-designed for TPU: one jitted sharded train step (forward + ~54-term
+loss + backward + AdamW + BN stats as a single XLA program), host-side
+threaded data loading, orbax checkpoints, per-stage metric evaluation.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dir_tpu.config import Config
+from dir_tpu.data.interhand import InterHandDataset
+from dir_tpu.data.loader import BatchLoader
+from dir_tpu.mano.assets import ManoModel
+from dir_tpu.models.dir import DIR
+from dir_tpu.parallel.mesh import make_mesh, shard_batch
+from dir_tpu.train import checkpoint as ckpt
+from dir_tpu.train import evaluate
+from dir_tpu.train.state import (TrainState, create_train_state,
+                                 make_optimizer, lr_schedule)
+from dir_tpu.train.steps import make_eval_step, make_train_step
+from dir_tpu.utils.logger import setup_logger
+
+_BATCH_KEYS = (
+    "img", "joint_2d_left", "joint_2d_right", "mesh_2d_left", "mesh_2d_right",
+    "joint_3d_left", "joint_3d_right", "mesh_3d_left", "mesh_3d_right",
+    "center_left", "center_right", "seg", "dense",
+)
+
+
+class Trainer:
+    def __init__(self, cfg: Config, mano_left: ManoModel,
+                 mano_right: ManoModel, mesh=None):
+        self.cfg = cfg
+        self.mano_left = mano_left
+        self.mano_right = mano_right
+        self.mesh = mesh if mesh is not None else make_mesh()
+        os.makedirs(cfg.train.output_dir, exist_ok=True)
+        self.logger = setup_logger(
+            os.path.join(cfg.train.output_dir, "log"), name="dir_tpu.train")
+        self.model = DIR(cfg.model)
+        self.start_epoch = 0
+
+    # -- setup -------------------------------------------------------------
+
+    def make_data(self):
+        c = self.cfg
+        self.train_ds = InterHandDataset(
+            c.data.data_dir, "train", self.mano_left, self.mano_right,
+            img_size=c.data.img_size, seed=c.train.seed)
+        self.test_ds = InterHandDataset(
+            c.data.data_dir, "test", self.mano_left, self.mano_right,
+            img_size=c.data.img_size, augment_train=False)
+        self.train_loader = BatchLoader(
+            self.train_ds, c.train.batch_size, shuffle=True, drop_last=True,
+            num_threads=c.data.num_workers, seed=c.train.seed)
+        self.test_loader = BatchLoader(
+            self.test_ds, c.train.batch_size, shuffle=False, drop_last=False,
+            pad_last=True, num_threads=c.data.num_workers)
+        self.logger.info(
+            "datasets: train=%d test=%d", len(self.train_ds),
+            len(self.test_ds))
+
+    def make_model(self, init_params=None, init_stats=None):
+        c = self.cfg
+        steps_per_epoch = max(1, len(self.train_ds) // c.train.batch_size)
+        self.tx = make_optimizer(c.train, steps_per_epoch)
+        self.sched = lr_schedule(c.train, steps_per_epoch)
+
+        img = jnp.zeros((1, c.data.img_size, c.data.img_size, 3), jnp.float32)
+        variables = self.model.init(
+            jax.random.PRNGKey(c.train.seed), img, self.mano_left,
+            self.mano_right)
+        if init_params is not None:
+            variables = dict(variables)
+            variables["params"] = ckpt.prune_to_target(
+                init_params, variables["params"])
+            if init_stats is not None:
+                variables["batch_stats"] = ckpt.prune_to_target(
+                    init_stats, variables["batch_stats"])
+        self.state = create_train_state(variables, self.tx)
+
+        self.train_step = make_train_step(
+            self.model, self.tx, c.model, self.mano_left, self.mano_right,
+            mesh=self.mesh)
+        self.eval_step = make_eval_step(
+            self.model, self.mano_left, self.mano_right, mesh=self.mesh)
+
+        if c.train.continue_train and c.train.checkpoint:
+            self.state = ckpt.restore_checkpoint(
+                c.train.checkpoint, self.state)
+            self.start_epoch = int(self.state.step) // steps_per_epoch
+            self.logger.info("resumed from %s at epoch %d",
+                             c.train.checkpoint, self.start_epoch)
+
+    # -- loops -------------------------------------------------------------
+
+    def train(self):
+        c = self.cfg
+        best = float("inf")
+        ckpt_dir = os.path.join(c.train.output_dir, "checkpoint")
+        with self.mesh:
+            for epoch in range(self.start_epoch, c.train.total_epochs):
+                t0 = time.perf_counter()
+                for it, batch in enumerate(self.train_loader):
+                    dev_batch = shard_batch(
+                        {k: batch[k] for k in _BATCH_KEYS}, self.mesh)
+                    self.state, loss_dict = self.train_step(
+                        self.state, dev_batch)
+                    if it % c.train.print_every == 0:
+                        total = float(sum(
+                            jax.tree.map(float, loss_dict).values()))
+                        lr = float(self.sched(self.state.step))
+                        self.logger.info(
+                            "[epoch %d][it %d] lr %.6f loss %.4f", epoch, it,
+                            lr, total)
+                dt = time.perf_counter() - t0
+                self.logger.info("epoch %d done in %.1fs", epoch, dt)
+                ckpt.save_checkpoint(ckpt_dir, self.state,
+                                     int(self.state.step), "latest")
+                if epoch % c.train.eval_every_epochs == 0:
+                    summary = self.evaluate()
+                    err = summary["joint_mean_all_mm"]
+                    if err < best:
+                        best = err
+                        ckpt.save_checkpoint(ckpt_dir, self.state,
+                                             int(self.state.step), "best")
+        return best
+
+    def evaluate(self) -> Dict[str, float]:
+        """Run the benchmark metrics over the test split
+        (apps/eval.py semantics, final refinement stage)."""
+        jreg_l = evaluate.extended_j_regressor(self.mano_left)
+        jreg_r = evaluate.extended_j_regressor(self.mano_right)
+        variables = {"params": self.state.params,
+                     "batch_stats": self.state.batch_stats}
+        acc: Dict[str, float] = {}
+        with self.mesh:
+            for batch in self.test_loader:
+                img = shard_batch(batch["img"], self.mesh)
+                out = self.eval_step(variables, img)
+                final = out["stages"][-1]
+                valid = np.zeros(batch["img"].shape[0], np.float32)
+                valid[: int(batch["_valid"])] = 1.0
+                metrics = evaluate.batch_metrics(
+                    final["pd_mesh_xyz_left"], final["pd_mesh_xyz_right"],
+                    final["pd_offset"],
+                    jnp.asarray(batch["mesh_3d_left"]),
+                    jnp.asarray(batch["mesh_3d_right"]),
+                    jnp.asarray(batch["camera"]),
+                    jreg_l, jreg_r, jnp.asarray(valid),
+                    root_joint=self.cfg.model.root_joint)
+                for k, v in metrics.items():
+                    acc[k] = acc.get(k, 0.0) + float(v)
+        summary = evaluate.summarize(acc)
+        for k, v in summary.items():
+            self.logger.info("%s: %.4f", k, v)
+        return summary

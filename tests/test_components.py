@@ -1,0 +1,128 @@
+"""Shape/parity tests for the network building blocks."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dir_tpu.models.layers import Residual, MLP1d, upsample2x
+from dir_tpu.models.resnet import ResNetPyramid
+from dir_tpu.models.gcn import PGraphConv, ResSimplePGCN, hand_adjacency
+from dir_tpu.models.transformer import STE, Attention
+
+
+def test_residual_shapes(rng):
+    x = jnp.asarray(rng.randn(2, 8, 8, 32).astype(np.float32))
+    mod = Residual(64)
+    vars_ = mod.init(jax.random.PRNGKey(0), x)
+    y = mod.apply(vars_, x)
+    assert y.shape == (2, 8, 8, 64)
+    # same-channel case has no skip conv
+    mod2 = Residual(32)
+    vars2 = mod2.init(jax.random.PRNGKey(0), x)
+    assert "skip" not in vars2["params"]
+    assert mod2.apply(vars2, x).shape == (2, 8, 8, 32)
+
+
+def test_resnet_pyramid_shapes(rng):
+    x = jnp.asarray(rng.randn(1, 128, 128, 3).astype(np.float32))
+    mod = ResNetPyramid(layers=(1, 1, 1, 1))
+    vars_ = mod.init(jax.random.PRNGKey(0), x)
+    feats = mod.apply(vars_, x)
+    assert [f.shape for f in feats] == [
+        (1, 32, 32, 256), (1, 16, 16, 512), (1, 8, 8, 1024), (1, 4, 4, 2048)]
+
+
+def test_resnet_batchnorm_updates(rng):
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    mod = ResNetPyramid(layers=(1, 1, 1, 1))
+    vars_ = mod.init(jax.random.PRNGKey(0), x, train=True)
+    _, updates = mod.apply(vars_, x, train=True, mutable=["batch_stats"])
+    before = vars_["batch_stats"]["bn1"]["mean"]
+    after = updates["batch_stats"]["bn1"]["mean"]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def _pgc_oracle(x, w, e0, e1, adj, bias):
+    """Numpy oracle for PGraphConv: masked row-softmax aggregation."""
+    j = x.shape[1]
+    h0 = np.einsum("bjc,jcd->bjd", x, w[0])
+    h1 = np.einsum("bjc,jcd->bjd", x, w[1])
+    a0 = np.full((j, j), -9e15, np.float32)
+    np.fill_diagonal(a0, e0)
+    a1 = np.full((j, j), -9e15, np.float32)
+    a1.reshape(-1)[np.nonzero(adj.reshape(-1) > 0)[0]] = e1
+
+    def softmax(m):
+        e = np.exp(m - m.max(1, keepdims=True))
+        return e / e.sum(1, keepdims=True)
+
+    out = softmax(a0) @ h0 + softmax(a1) @ h1
+    return out + bias
+
+
+def test_pgraphconv_matches_oracle(rng):
+    adj = hand_adjacency(21)
+    x = rng.randn(2, 21, 16).astype(np.float32)
+    mod = PGraphConv(8, tuple(map(tuple, adj)))
+    vars_ = mod.init(jax.random.PRNGKey(1), jnp.asarray(x))
+    p = jax.tree.map(np.asarray, vars_["params"])
+    got = np.asarray(mod.apply(vars_, jnp.asarray(x)))
+    want = _pgc_oracle(x, p["w"], p["e0"], p["e1"], adj, p["bias"])
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_res_simple_pgcn_shapes(rng):
+    x = jnp.asarray(rng.randn(2, 21, 128).astype(np.float32))
+    mod = ResSimplePGCN(128, num_layers=4)
+    vars_ = mod.init(jax.random.PRNGKey(0), x)
+    y = mod.apply(vars_, x)
+    assert y.shape == (2, 21, 128)
+    assert len(vars_["params"]) == 4  # layer0..layer3
+
+
+def test_attention_matches_numpy_oracle(rng):
+    x = rng.randn(2, 10, 32).astype(np.float32)
+    mod = Attention(num_heads=4)
+    vars_ = mod.init(jax.random.PRNGKey(2), jnp.asarray(x))
+    p = jax.tree.map(np.asarray, vars_["params"])
+    got = np.asarray(mod.apply(vars_, jnp.asarray(x)))
+
+    qkv = x @ p["qkv"]["kernel"] + p["qkv"]["bias"]
+    qkv = qkv.reshape(2, 10, 3, 4, 8)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    attn = np.einsum("bnhd,bmhd->bhnm", q, k) / np.sqrt(8)
+    attn = np.exp(attn - attn.max(-1, keepdims=True))
+    attn = attn / attn.sum(-1, keepdims=True)
+    out = np.einsum("bhnm,bmhd->bnhd", attn, v).reshape(2, 10, 32)
+    want = out @ p["proj"]["kernel"] + p["proj"]["bias"]
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_ste_shapes_and_skipped_block0(rng):
+    x = jnp.asarray(rng.randn(2, 42, 128).astype(np.float32))
+    mod = STE(num_joints=42, in_chans=128, out_dim=64, depth=4)
+    vars_ = mod.init(jax.random.PRNGKey(0), x)
+    y = mod.apply(vars_, x)
+    assert y.shape == (2, 42, 64)
+    # depth=4 but block0 is never built (reference quirk, mixSTE.py:197)
+    names = set(vars_["params"].keys())
+    assert "block1" in names and "block3" in names and "block0" not in names
+
+
+def test_mlp1d_and_upsample(rng):
+    x = jnp.asarray(rng.randn(2, 21, 3).astype(np.float32))
+    mod = MLP1d(128, 128)
+    vars_ = mod.init(jax.random.PRNGKey(0), x)
+    assert mod.apply(vars_, x).shape == (2, 21, 128)
+
+    img = jnp.asarray(rng.randn(1, 8, 8, 4).astype(np.float32))
+    up = upsample2x(img)
+    assert up.shape == (1, 16, 16, 4)
+    # torch bilinear align_corners=False parity
+    import torch
+    import torch.nn.functional as F
+    t = torch.from_numpy(np.asarray(img)).permute(0, 3, 1, 2)
+    want = F.interpolate(t, scale_factor=2, mode="bilinear",
+                         align_corners=False)
+    want = want.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(up), want, atol=1e-5)

@@ -35,7 +35,11 @@ def main():
     model, _, mano_l, mano_r = _flagship()
     rng = np.random.RandomState(0)
     img = jnp.asarray(rng.randn(BATCH, 256, 256, 3).astype(np.float32))
-    variables = model.init(jax.random.PRNGKey(0), img[:1], mano_l, mano_r)
+    # Shape-only init: parameter values are irrelevant for throughput and
+    # eager init would round-trip the device tunnel per op.
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), img[:1], mano_l, mano_r))
+    variables = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
     @jax.jit
     def fwd(image):

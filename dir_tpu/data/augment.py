@@ -37,9 +37,9 @@ def get_affine_mat(theta: float, scale: float, u: float, v: float,
     rot = np.array([[math.cos(t), -math.sin(t), 0],
                     [math.sin(t), math.cos(t), 0],
                     [0, 0, 1]], np.float32)
-    rot[:2, 2] = (np.identity(3, np.float32) - rot) @ center
+    rot[:2, 2] = ((np.identity(3, np.float32) - rot) @ center)[:2]
     sc = np.diag([scale, scale, 1.0]).astype(np.float32)
-    sc[:2, 2] = (np.identity(3, np.float32) - sc) @ center
+    sc[:2, 2] = ((np.identity(3, np.float32) - sc) @ center)[:2]
     tr = np.identity(3, np.float32)
     tr[0, 2] = u
     tr[1, 2] = v

@@ -75,11 +75,11 @@ class NumpyMano:
             g[:, i] = g[:, p] @ rel
         joints16 = g[:, :, :3, 3].copy()
 
-        # inverse bind
+        # inverse bind: subtract A @ (j, 0) from the translation column
+        # (its 4th component is 0 since the bottom row is (0,0,0,1)).
         bind_t = np.einsum("bjik,bjk->bji", g[:, :, :, :3], j_rest)
         a = g.copy()
-        a[:, :, :, 3] -= np.concatenate(
-            [bind_t, np.zeros((b, 16, 1))], axis=-1)
+        a[:, :, :, 3] -= bind_t
         m = np.einsum("vj,bjik->bvik", self.weights, a)
         verts = (np.einsum("bvik,bvk->bvi", m[:, :, :3, :3], v_posed)
                  + m[:, :, :3, 3])

@@ -1,0 +1,115 @@
+"""Data pipeline tests: numpy MANO parity, synthetic on-disk dataset,
+dataset/loader end-to-end."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy.spatial.transform import Rotation as R
+
+from dir_tpu.data.loader import BatchLoader, collate
+from dir_tpu.data.mano_np import NumpyMano
+from dir_tpu.data import synthetic
+from dir_tpu.data.interhand import InterHandDataset, InterHandRawEval
+from dir_tpu.mano import (synthetic_mano, fix_left_shapedirs,
+                          mano_forward_rotmat, TIPS_DATA)
+
+
+@pytest.fixture(scope="module")
+def manos():
+    right = synthetic_mano("right", seed=0, tips=TIPS_DATA)
+    left = fix_left_shapedirs(
+        synthetic_mano("left", seed=0, tips=TIPS_DATA), right)
+    return left, right
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory, manos):
+    left, right = manos
+    d = tmp_path_factory.mktemp("synth_data")
+    synthetic.generate(str(d), left, right, split="train", num_samples=6)
+    synthetic.generate(str(d), left, right, split="test", num_samples=5,
+                       seed=7)
+    return str(d)
+
+
+def test_numpy_mano_matches_jax(manos, rng):
+    _, right = manos
+    npm = NumpyMano(right)
+    b = 3
+    root = R.random(b, random_state=3).as_matrix().astype(np.float32)
+    pose = rng.randn(b, 45).astype(np.float32) * 0.3
+    shape = rng.randn(b, 10).astype(np.float32)
+    trans = rng.randn(b, 3).astype(np.float32)
+
+    v_np, j_np = npm(root, pose, shape, trans=trans, center_idx=None)
+    v_jx, j_jx = mano_forward_rotmat(
+        right, jnp.asarray(root), jnp.asarray(pose), jnp.asarray(shape),
+        trans=jnp.asarray(trans), center_idx=None)
+    np.testing.assert_allclose(v_np, np.asarray(v_jx), atol=2e-5)
+    np.testing.assert_allclose(j_np, np.asarray(j_jx), atol=2e-5)
+
+
+def test_dataset_sample_schema(data_dir, manos):
+    left, right = manos
+    ds = InterHandDataset(data_dir, "train", left, right)
+    assert len(ds) == 6
+    s = ds[0]
+    assert s["img"].shape == (256, 256, 3)
+    assert s["img"].dtype == np.float32
+    assert s["seg"].shape == (256, 256)
+    assert set(np.unique(s["seg"])).issubset({0, 1, 2})
+    assert s["dense"].shape == (256, 256, 3)
+    assert s["joint_2d_left"].shape == (21, 3)
+    assert s["mesh_3d_right"].shape == (778, 3)
+    assert s["center_left"].shape == (1, 3)
+    # centers are joint 9 of each hand
+    np.testing.assert_allclose(s["center_right"], s["joint_3d_right"][9:10])
+    # 2d uv normalized to about [-1, 1]
+    assert np.abs(s["joint_2d_left"][:, :2]).max() < 3.0
+
+
+def test_dataset_eval_no_aug_deterministic(data_dir, manos):
+    left, right = manos
+    ds = InterHandDataset(data_dir, "test", left, right,
+                          augment_train=False)
+    a, b = ds[1], ds[1]
+    np.testing.assert_allclose(a["img"], b["img"])
+    np.testing.assert_allclose(a["joint_3d_left"], b["joint_3d_left"])
+
+
+def test_train_augmentation_varies(data_dir, manos):
+    left, right = manos
+    ds = InterHandDataset(data_dir, "train", left, right)
+    a, b = ds[0], ds[0]  # rng advances between draws
+    assert not np.allclose(a["img"], b["img"])
+
+
+def test_batch_loader(data_dir, manos):
+    left, right = manos
+    ds = InterHandDataset(data_dir, "train", left, right)
+    loader = BatchLoader(ds, batch_size=2, shuffle=True, drop_last=True,
+                         num_threads=2)
+    batches = list(loader)
+    assert len(batches) == 3
+    assert batches[0]["img"].shape == (2, 256, 256, 3)
+    assert batches[0]["_valid"] == 2
+
+
+def test_batch_loader_pad_last(data_dir, manos):
+    left, right = manos
+    ds = InterHandDataset(data_dir, "test", left, right,
+                          augment_train=False)
+    loader = BatchLoader(ds, batch_size=4, shuffle=False, drop_last=False,
+                         pad_last=True, num_threads=2)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[1]["img"].shape == (4, 256, 256, 3)  # padded
+    assert batches[1]["_valid"] == 1
+
+
+def test_raw_eval_dataset(data_dir, manos):
+    left, right = manos
+    ds = InterHandRawEval(data_dir, left, right, split="test")
+    s = ds[0]
+    assert s["verts_left_gt"].shape == (778, 3)
+    assert s["camera"].shape == (3, 3)

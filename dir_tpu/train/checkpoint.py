@@ -5,18 +5,21 @@ batch_stats, opt_state, step) — the TPU-equivalent of the reference's
 ``torch.save({'net', 'optimizer', 'schedule', 'last_epoch'})``
 (train.py:137-149).
 
-Torch import: maps the reference DIR state_dict (and torchvision
-ResNet-50 ImageNet weights) onto our flax parameter tree so the released
-``DIR.pth`` can seed benchmark-parity evaluation (apps/eval.py:107-108
-loads with strict=False; unmatched reference keys — MANO buffers, the
-never-executed STE block 0 — are intentionally dropped).
+Torch interop is table-driven: :func:`dir_mapping` enumerates every
+(torch key, flax path, kind) pair of the reference DIR state_dict
+(models/dir.py), from which both directions derive:
+  * :func:`convert_torch_dir_state` — released ``DIR.pth`` -> flax trees
+    (seeds benchmark-parity eval; apps/eval.py:107-108 loads with
+    strict=False, mirrored here by dropping MANO buffers and the
+    never-executed STE block 0).
+  * :func:`export_torch_dir_state` — flax trees -> reference-layout
+    state_dict (migration path back, and round-trip tests).
 """
 
 from __future__ import annotations
 
 import os
-import re
-from typing import Dict, Tuple
+from typing import Dict, List, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,228 +46,294 @@ def restore_checkpoint(ckpt_dir: str, target, name: str = "latest"):
 
 
 # ---------------------------------------------------------------------------
-# torch -> flax conversion
+# mapping table
 # ---------------------------------------------------------------------------
 
-def _conv2d(w: np.ndarray) -> np.ndarray:
-    """torch Conv2d (O, I, kH, kW) -> flax (kH, kW, I, O)."""
-    return np.transpose(w, (2, 3, 1, 0))
+class _EntryBase(NamedTuple):
+    torch_key: str          # torch tensor name (state_dict key)
+    path: Tuple[str, ...]   # flax tree path
+    kind: str               # transform kind
+    collection: str         # "params" | "batch_stats"
 
 
-def _conv1d_dense(w: np.ndarray) -> np.ndarray:
-    """torch Conv1d (O, I, 1) -> flax Dense kernel (I, O)."""
-    return np.transpose(w[:, :, 0], (1, 0))
+def Entry(torch_key, path, kind, collection) -> _EntryBase:
+    # Normalize empty-prefix keys (".0.weight" -> "0.weight") so module
+    # subtrees can be mapped standalone in tests.
+    return _EntryBase(torch_key.lstrip("."), path, kind, collection)
 
 
-def _linear(w: np.ndarray) -> np.ndarray:
-    """torch Linear (O, I) -> flax Dense kernel (I, O)."""
-    return np.transpose(w, (1, 0))
+def _entries_conv2d(tkey, path, bias=True):
+    out = [Entry(f"{tkey}.weight", path + ("kernel",), "conv2d", "params")]
+    if bias:
+        out.append(Entry(f"{tkey}.bias", path + ("bias",), "raw", "params"))
+    return out
 
 
-def _set(tree: dict, path: Tuple[str, ...], value: np.ndarray):
-    node = tree
-    for k in path[:-1]:
-        node = node.setdefault(k, {})
-    node[path[-1]] = jnp.asarray(value)
+def _entries_dense(tkey, path, bias=True):
+    out = [Entry(f"{tkey}.weight", path + ("kernel",), "linear", "params")]
+    if bias:
+        out.append(Entry(f"{tkey}.bias", path + ("bias",), "raw", "params"))
+    return out
 
 
-class _Mapper:
-    """Collects params/batch_stats assignments from torch tensors."""
-
-    def __init__(self, sd: Dict[str, np.ndarray]):
-        self.sd = {k: np.asarray(v) for k, v in sd.items()}
-        self.params: dict = {}
-        self.stats: dict = {}
-        self.used: set = set()
-
-    def t(self, key: str) -> np.ndarray:
-        self.used.add(key)
-        return self.sd[key]
-
-    def has(self, key: str) -> bool:
-        return key in self.sd
-
-    def conv(self, tkey: str, path: Tuple[str, ...], bias: bool = True):
-        _set(self.params, path + ("kernel",), _conv2d(self.t(tkey + ".weight")))
-        if bias and self.has(tkey + ".bias"):
-            _set(self.params, path + ("bias",), self.t(tkey + ".bias"))
-
-    def dense_from_conv1d(self, tkey: str, path: Tuple[str, ...]):
-        _set(self.params, path + ("kernel",),
-             _conv1d_dense(self.t(tkey + ".weight")))
-        _set(self.params, path + ("bias",), self.t(tkey + ".bias"))
-
-    def dense(self, tkey: str, path: Tuple[str, ...]):
-        _set(self.params, path + ("kernel",), _linear(self.t(tkey + ".weight")))
-        if self.has(tkey + ".bias"):
-            _set(self.params, path + ("bias",), self.t(tkey + ".bias"))
-
-    def bn(self, tkey: str, path: Tuple[str, ...]):
-        _set(self.params, path + ("scale",), self.t(tkey + ".weight"))
-        _set(self.params, path + ("bias",), self.t(tkey + ".bias"))
-        _set(self.stats, path + ("mean",), self.t(tkey + ".running_mean"))
-        _set(self.stats, path + ("var",), self.t(tkey + ".running_var"))
-
-    def ln(self, tkey: str, path: Tuple[str, ...]):
-        _set(self.params, path + ("scale",), self.t(tkey + ".weight"))
-        _set(self.params, path + ("bias",), self.t(tkey + ".bias"))
+def _entries_conv1d_dense(tkey, path):
+    return [
+        Entry(f"{tkey}.weight", path + ("kernel",), "conv1d_dense", "params"),
+        Entry(f"{tkey}.bias", path + ("bias",), "raw", "params"),
+    ]
 
 
-def _map_residual(m: _Mapper, tpre: str, fpre: Tuple[str, ...]):
-    """Hourglass Residual (models/backbone/hourglass.py:33-70)."""
-    m.bn(f"{tpre}.bn1", fpre + ("bn1",))
-    m.conv(f"{tpre}.conv1.conv", fpre + ("conv1",))
-    m.bn(f"{tpre}.bn2", fpre + ("bn2",))
-    m.conv(f"{tpre}.conv2.conv", fpre + ("conv2",))
-    m.bn(f"{tpre}.bn3", fpre + ("bn3",))
-    m.conv(f"{tpre}.conv3.conv", fpre + ("conv3",))
-    if m.has(f"{tpre}.skip_layer.conv.weight"):
-        # torch always constructs skip_layer; flax only has it when
-        # channel counts differ. Map when our tree expects it (decided by
-        # the caller keeping or pruning afterwards is avoided: the skip
-        # conv exists in our model iff in_dim != out_dim, and the torch
-        # weights are identity-unused otherwise — map unconditionally and
-        # prune later).
-        m.conv(f"{tpre}.skip_layer.conv", fpre + ("skip",))
+def _entries_bn(tkey, path):
+    return [
+        Entry(f"{tkey}.weight", path + ("scale",), "raw", "params"),
+        Entry(f"{tkey}.bias", path + ("bias",), "raw", "params"),
+        Entry(f"{tkey}.running_mean", path + ("mean",), "raw", "batch_stats"),
+        Entry(f"{tkey}.running_var", path + ("var",), "raw", "batch_stats"),
+    ]
 
 
-def _map_mlp1d(m: _Mapper, tpre: str, fpre: Tuple[str, ...]):
+def _entries_ln(tkey, path):
+    return [
+        Entry(f"{tkey}.weight", path + ("scale",), "raw", "params"),
+        Entry(f"{tkey}.bias", path + ("bias",), "raw", "params"),
+    ]
+
+
+def _entries_residual(tpre, fpre, has_skip=True):
+    """Hourglass Residual (models/backbone/hourglass.py:33-70). torch
+    always constructs skip_layer; flax only has it when channels differ —
+    prune_to_target drops the surplus on import."""
+    out = []
+    out += _entries_bn(f"{tpre}.bn1", fpre + ("bn1",))
+    out += _entries_conv2d(f"{tpre}.conv1.conv", fpre + ("conv1",))
+    out += _entries_bn(f"{tpre}.bn2", fpre + ("bn2",))
+    out += _entries_conv2d(f"{tpre}.conv2.conv", fpre + ("conv2",))
+    out += _entries_bn(f"{tpre}.bn3", fpre + ("bn3",))
+    out += _entries_conv2d(f"{tpre}.conv3.conv", fpre + ("conv3",))
+    if has_skip:
+        out += _entries_conv2d(f"{tpre}.skip_layer.conv", fpre + ("skip",))
+    return out
+
+
+def _entries_mlp1d(tpre, fpre):
     """Sequential(Conv1d, BN1d, ReLU, Conv1d) -> MLP1d."""
-    m.dense_from_conv1d(f"{tpre}.0", fpre + ("fc1",))
-    m.bn(f"{tpre}.1", fpre + ("bn",))
-    m.dense_from_conv1d(f"{tpre}.3", fpre + ("fc2",))
+    return (_entries_conv1d_dense(f"{tpre}.0", fpre + ("fc1",))
+            + _entries_bn(f"{tpre}.1", fpre + ("bn",))
+            + _entries_conv1d_dense(f"{tpre}.3", fpre + ("fc2",)))
 
 
-def _map_bottleneck(m: _Mapper, tpre: str, fpre: Tuple[str, ...]):
+def _entries_bottleneck(tpre, fpre, has_down):
+    out = []
     for i in (1, 2, 3):
-        m.conv(f"{tpre}.conv{i}", fpre + (f"conv{i}",), bias=False)
-        m.bn(f"{tpre}.bn{i}", fpre + (f"bn{i}",))
-    if m.has(f"{tpre}.downsample.0.weight"):
-        m.conv(f"{tpre}.downsample.0", fpre + ("down_conv",), bias=False)
-        m.bn(f"{tpre}.downsample.1", fpre + ("down_bn",))
+        out += _entries_conv2d(f"{tpre}.conv{i}", fpre + (f"conv{i}",),
+                               bias=False)
+        out += _entries_bn(f"{tpre}.bn{i}", fpre + (f"bn{i}",))
+    if has_down:
+        out += _entries_conv2d(f"{tpre}.downsample.0", fpre + ("down_conv",),
+                               bias=False)
+        out += _entries_bn(f"{tpre}.downsample.1", fpre + ("down_bn",))
+    return out
 
 
-def _map_resnet(m: _Mapper, tpre: str, fpre: Tuple[str, ...],
-                layers=(3, 4, 6, 3)):
-    m.conv(f"{tpre}.conv1", fpre + ("conv1",), bias=False)
-    m.bn(f"{tpre}.bn1", fpre + ("bn1",))
+def resnet_mapping(tpre="backbone", fpre=("backbone",),
+                   layers=(3, 4, 6, 3)) -> List[Entry]:
+    sep = "." if tpre else ""
+    out = _entries_conv2d(f"{tpre}{sep}conv1", fpre + ("conv1",), bias=False)
+    out += _entries_bn(f"{tpre}{sep}bn1", fpre + ("bn1",))
     for s, blocks in enumerate(layers):
         for b in range(blocks):
-            _map_bottleneck(m, f"{tpre}.layer{s + 1}.{b}",
-                            fpre + (f"layer{s + 1}_{b}",))
+            out += _entries_bottleneck(
+                f"{tpre}{sep}layer{s + 1}.{b}", fpre + (f"layer{s + 1}_{b}",),
+                has_down=(b == 0))
+    return out
 
 
-def _map_gcn(m: _Mapper, tpre: str, fpre: Tuple[str, ...], num_layers=4):
+def _entries_gcn(tpre, fpre, num_layers=4):
     """ResSimplePGCN (SemGCN/p_gcn.py:63-73)."""
+    out = []
     for i in range(num_layers):
         g = f"{tpre}.gconv_layers.{i}"
         f = fpre + (f"layer{i}",)
-        _set(m.params, f + ("gconv", "w"), m.t(f"{g}.gconv.W"))
-        _set(m.params, f + ("gconv", "e0"), m.t(f"{g}.gconv.e_0")[0])
-        _set(m.params, f + ("gconv", "e1"), m.t(f"{g}.gconv.e_1")[0])
-        _set(m.params, f + ("gconv", "bias"), m.t(f"{g}.gconv.bias"))
-        m.bn(f"{g}.bn", f + ("bn",))
+        out += [
+            Entry(f"{g}.gconv.W", f + ("gconv", "w"), "raw", "params"),
+            Entry(f"{g}.gconv.e_0", f + ("gconv", "e0"), "squeeze0",
+                  "params"),
+            Entry(f"{g}.gconv.e_1", f + ("gconv", "e1"), "squeeze0",
+                  "params"),
+            Entry(f"{g}.gconv.bias", f + ("gconv", "bias"), "raw", "params"),
+        ]
+        out += _entries_bn(f"{g}.bn", f + ("bn",))
+    return out
 
 
-def _map_ste(m: _Mapper, tpre: str, fpre: Tuple[str, ...], depth=4):
-    """STE transformer; torch block 0 is constructed-but-unused
-    (mixSTE.py:197) and deliberately dropped."""
-    _set(m.params, fpre + ("spatial_pos_embed",),
-         m.t(f"{tpre}.spatial_pos_embed"))
+def _entries_ste(tpre, fpre, depth=4):
+    """STE; torch block 0 is constructed-but-unused (mixSTE.py:197) and
+    has no flax counterpart."""
+    out = [Entry(f"{tpre}.spatial_pos_embed", fpre + ("spatial_pos_embed",),
+                 "raw", "params")]
     for i in range(1, depth):
         b = f"{tpre}.STEblocks.{i}"
         f = fpre + (f"block{i}",)
-        m.ln(f"{b}.norm1", f + ("norm1",))
-        m.dense(f"{b}.attn.qkv", f + ("attn", "qkv"))
-        m.dense(f"{b}.attn.proj", f + ("attn", "proj"))
-        m.ln(f"{b}.norm2", f + ("norm2",))
-        m.dense(f"{b}.mlp.fc1", f + ("mlp", "fc1"))
-        m.dense(f"{b}.mlp.fc2", f + ("mlp", "fc2"))
-    m.ln(f"{tpre}.spatial_norm", fpre + ("spatial_norm",))
-    m.ln(f"{tpre}.head.0", fpre + ("head_norm",))
-    m.dense(f"{tpre}.head.1", fpre + ("head",))
+        out += _entries_ln(f"{b}.norm1", f + ("norm1",))
+        out += _entries_dense(f"{b}.attn.qkv", f + ("attn", "qkv"))
+        out += _entries_dense(f"{b}.attn.proj", f + ("attn", "proj"))
+        out += _entries_ln(f"{b}.norm2", f + ("norm2",))
+        out += _entries_dense(f"{b}.mlp.fc1", f + ("mlp", "fc1"))
+        out += _entries_dense(f"{b}.mlp.fc2", f + ("mlp", "fc2"))
+    out += _entries_ln(f"{tpre}.spatial_norm", fpre + ("spatial_norm",))
+    out += _entries_ln(f"{tpre}.head.0", fpre + ("head_norm",))
+    out += _entries_dense(f"{tpre}.head.1", fpre + ("head",))
+    return out
 
 
-def _map_seg_dense_head(m: _Mapper, tpre: str, fpre: Tuple[str, ...]):
-    m.conv(f"{tpre}.0", fpre + ("conv1",))
-    m.bn(f"{tpre}.1", fpre + ("bn",))
-    m.conv(f"{tpre}.3", fpre + ("conv2",))
+def _entries_head(tpre, fpre):
+    """Sequential(Conv3x3, BN, ReLU, Conv1x1) heads (seg/dense/attention
+    pool)."""
+    return (_entries_conv2d(f"{tpre}.0", fpre + ("conv1",))
+            + _entries_bn(f"{tpre}.1", fpre + ("bn",))
+            + _entries_conv2d(f"{tpre}.3", fpre + ("conv2",)))
 
 
-def _map_attention_pool(m: _Mapper, tpre: str, fpre: Tuple[str, ...]):
-    m.conv(f"{tpre}.0", fpre + ("conv1",))
-    m.bn(f"{tpre}.1", fpre + ("bn",))
-    m.conv(f"{tpre}.3", fpre + ("conv2",))
-
-
-def _map_refine_stage(m: _Mapper, tpre: str, fpre: Tuple[str, ...]):
+def _entries_refine_stage(tpre, fpre):
     """Joint2BoneFeature (models/dir.py:19-130)."""
+    out = []
     for side in ("left", "right"):
-        _map_mlp1d(m, f"{tpre}.img2joint_{side}.filters",
-                   fpre + (f"img2joint_{side}", "filters"))
-        _map_mlp1d(m, f"{tpre}.pos_emb_{side}", fpre + (f"pos_emb_{side}",))
-        _map_gcn(m, f"{tpre}.gcn_{side}", fpre + (f"gcn_{side}",))
-    _map_mlp1d(m, f"{tpre}.global_pos_emb", fpre + ("global_pos_emb",))
-    _map_ste(m, f"{tpre}.interaction", fpre + ("interaction",))
-    _map_mlp1d(m, f"{tpre}.proj_feat_emb", fpre + ("proj_feat_emb",))
-    m.conv(f"{tpre}.fusion.0", fpre + ("fusion_conv1",))
-    m.bn(f"{tpre}.fusion.1", fpre + ("fusion_bn",))
-    m.conv(f"{tpre}.fusion.3", fpre + ("fusion_conv2",))
-    # RegressorOffset heads
-    m.dense(f"{tpre}.regressor.mano_left", fpre + ("regressor", "mano_left"))
-    m.dense(f"{tpre}.regressor.mano_right", fpre + ("regressor", "mano_right"))
-    m.dense(f"{tpre}.regressor.offset", fpre + ("regressor", "offset"))
+        out += _entries_mlp1d(f"{tpre}.img2joint_{side}.filters",
+                              fpre + (f"img2joint_{side}", "filters"))
+        out += _entries_mlp1d(f"{tpre}.pos_emb_{side}",
+                              fpre + (f"pos_emb_{side}",))
+        out += _entries_gcn(f"{tpre}.gcn_{side}", fpre + (f"gcn_{side}",))
+    out += _entries_mlp1d(f"{tpre}.global_pos_emb", fpre + ("global_pos_emb",))
+    out += _entries_ste(f"{tpre}.interaction", fpre + ("interaction",))
+    out += _entries_mlp1d(f"{tpre}.proj_feat_emb", fpre + ("proj_feat_emb",))
+    out += _entries_conv2d(f"{tpre}.fusion.0", fpre + ("fusion_conv1",))
+    out += _entries_bn(f"{tpre}.fusion.1", fpre + ("fusion_bn",))
+    out += _entries_conv2d(f"{tpre}.fusion.3", fpre + ("fusion_conv2",))
+    out += _entries_dense(f"{tpre}.regressor.mano_left",
+                          fpre + ("regressor", "mano_left"))
+    out += _entries_dense(f"{tpre}.regressor.mano_right",
+                          fpre + ("regressor", "mano_right"))
+    out += _entries_dense(f"{tpre}.regressor.offset",
+                          fpre + ("regressor", "offset"))
+    return out
 
 
-def convert_torch_dir_state(sd: Dict[str, np.ndarray]):
-    """Reference DIR state_dict -> (params, batch_stats) flax pytrees.
-
-    Unused reference keys (MANO buffers, STE block 0, adjacency buffers,
-    never-called avgpool/fc) are dropped — mirroring the strict=False
-    load of apps/eval.py:108.
-    """
-    m = _Mapper(sd)
-    _map_resnet(m, "backbone", ("backbone",))
-    _map_attention_pool(m, "init_regressor.attention_left",
-                        ("init_regressor", "attention_left"))
-    _map_attention_pool(m, "init_regressor.attention_right",
-                        ("init_regressor", "attention_right"))
-    m.dense("init_regressor.offset", ("init_regressor", "offset"))
-    m.dense("init_regressor.mano_left", ("init_regressor", "mano_left"))
-    m.dense("init_regressor.mano_right", ("init_regressor", "mano_right"))
+def dir_mapping(backbone_layers=(3, 4, 6, 3)) -> List[Entry]:
+    """Full reference-DIR <-> flax-DIR mapping table."""
+    out = resnet_mapping("backbone", ("backbone",), backbone_layers)
+    for side in ("left", "right"):
+        out += _entries_head(f"init_regressor.attention_{side}",
+                             ("init_regressor", f"attention_{side}"))
+        out += _entries_dense(f"init_regressor.mano_{side}",
+                              ("init_regressor", f"mano_{side}"))
+    out += _entries_dense("init_regressor.offset",
+                          ("init_regressor", "offset"))
 
     d = ("decoder",)
     for res in ("skip_layer4", "fusion_layer4", "enhance_layer4",
                 "skip_layer3", "fusion_layer3", "enhance_layer3"):
-        _map_residual(m, f"decoder.{res}", d + (res,))
-    _map_refine_stage(m, "decoder.projecter_4", d + ("projecter_4",))
-    _map_refine_stage(m, "decoder.projecter_3", d + ("projecter_3",))
-    m.conv("decoder.conv_final.0", d + ("final_conv1",), bias=False)
-    m.bn("decoder.conv_final.1", d + ("final_bn",))
-    m.conv("decoder.conv_final.3", d + ("final_conv2",))
-    _map_seg_dense_head(m, "decoder.seg", d + ("seg",))
-    _map_seg_dense_head(m, "decoder.dense", d + ("dense",))
-    return m.params, m.stats
+        out += _entries_residual(f"decoder.{res}", d + (res,))
+    out += _entries_refine_stage("decoder.projecter_4", d + ("projecter_4",))
+    out += _entries_refine_stage("decoder.projecter_3", d + ("projecter_3",))
+    out += _entries_conv2d("decoder.conv_final.0", d + ("final_conv1",),
+                           bias=False)
+    out += _entries_bn("decoder.conv_final.1", d + ("final_bn",))
+    out += _entries_conv2d("decoder.conv_final.3", d + ("final_conv2",))
+    out += _entries_head("decoder.seg", d + ("seg",))
+    out += _entries_head("decoder.dense", d + ("dense",))
+    return out
 
 
-def load_torch_dir_checkpoint(pth_path: str):
+# ---------------------------------------------------------------------------
+# transforms
+# ---------------------------------------------------------------------------
+
+_FWD = {
+    "raw": lambda w: w,
+    "conv2d": lambda w: np.transpose(w, (2, 3, 1, 0)),
+    "linear": lambda w: np.transpose(w, (1, 0)),
+    "conv1d_dense": lambda w: np.transpose(w[:, :, 0], (1, 0)),
+    "squeeze0": lambda w: w[0],
+}
+_INV = {
+    "raw": lambda w: w,
+    "conv2d": lambda w: np.transpose(w, (3, 2, 0, 1)),
+    "linear": lambda w: np.transpose(w, (1, 0)),
+    "conv1d_dense": lambda w: np.transpose(w, (1, 0))[:, :, None],
+    "squeeze0": lambda w: w[None],
+}
+
+
+def _set(tree: dict, path: Tuple[str, ...], value):
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = value
+
+
+def _get(tree: dict, path: Tuple[str, ...]):
+    node = tree
+    for k in path:
+        if not isinstance(node, dict) or k not in node:
+            return None
+        node = node[k]
+    return node
+
+
+def convert_torch_state(sd: Dict[str, np.ndarray], mapping: List[Entry],
+                        strict: bool = False):
+    """torch state_dict -> (params, batch_stats) flax pytrees."""
+    params: dict = {}
+    stats: dict = {}
+    for e in mapping:
+        if e.torch_key not in sd:
+            if strict:
+                raise KeyError(e.torch_key)
+            continue
+        value = jnp.asarray(_FWD[e.kind](np.asarray(sd[e.torch_key])))
+        _set(params if e.collection == "params" else stats, e.path, value)
+    return params, stats
+
+
+def export_torch_state(params: dict, stats: dict,
+                       mapping: List[Entry]) -> Dict[str, np.ndarray]:
+    """flax pytrees -> reference-layout torch state_dict (skips leaves
+    absent from the flax tree, e.g. identity Residual skips)."""
+    sd = {}
+    for e in mapping:
+        tree = params if e.collection == "params" else stats
+        leaf = _get(tree, e.path)
+        if leaf is None:
+            continue
+        sd[e.torch_key] = _INV[e.kind](np.asarray(leaf))
+    return sd
+
+
+def convert_torch_dir_state(sd: Dict[str, np.ndarray],
+                            backbone_layers=(3, 4, 6, 3)):
+    return convert_torch_state(sd, dir_mapping(backbone_layers))
+
+
+def export_torch_dir_state(params: dict, stats: dict,
+                           backbone_layers=(3, 4, 6, 3)):
+    return export_torch_state(params, stats, dir_mapping(backbone_layers))
+
+
+def load_torch_dir_checkpoint(pth_path: str, backbone_layers=(3, 4, 6, 3)):
     """Load the released DIR .pth and convert (requires torch)."""
     import torch
-    state = torch.load(pth_path, map_location="cpu")
+    state = torch.load(pth_path, map_location="cpu", weights_only=False)
     sd = state["net"] if "net" in state else state
-    sd = {k: v.numpy() for k, v in sd.items()
-          if hasattr(v, "numpy")}
-    return convert_torch_dir_state(sd)
+    sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+    return convert_torch_dir_state(sd, backbone_layers)
 
 
 def import_torch_resnet50(sd: Dict[str, np.ndarray]):
     """torchvision resnet50 state_dict -> our backbone (params, stats)
     subtrees (the reference copies matching keys only, models/dir.py:
-    494-498 — avgpool/fc are absent from our tree and simply unused)."""
-    m = _Mapper(sd)
-    _map_resnet(m, "", ("",))
-    # keys came in with an empty root; unwrap
-    return m.params[""], m.stats[""]
+    494-498 — avgpool/fc are unused)."""
+    params, stats = convert_torch_state(sd, resnet_mapping("", ("",)))
+    return params[""], stats[""]
 
 
 def prune_to_target(converted: dict, target: dict) -> dict:

@@ -1,0 +1,160 @@
+"""Offline benchmark evaluation on InterHand2.6M (reference: apps/eval.py).
+
+Usage:
+    python apps/eval.py --model <ckpt> --data_path ./data/interhand2.6m \
+        --mano_path ./assets/mano [--bs 64] [--root_joint 0] [--no-scale] \
+        [--out ./result/dir_tpu]
+
+--model accepts either an orbax checkpoint directory (saved by the
+trainer) or a torch ``.pth`` from the reference (converted on the fly).
+Prints the summary block and writes the per-sample error dumps the
+reference produces (apps/eval.py:271-306).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                                "..")))
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", type=str, default="./DIR.pth")
+    ap.add_argument("--data_path", type=str, default="./data/interhand2.6m")
+    ap.add_argument("--mano_path", type=str, default="./assets/mano")
+    ap.add_argument("--bs", type=int, default=64)
+    ap.add_argument("--root_joint", type=int, default=0)  # 0 wrist, 9 MCP
+    ap.add_argument("--no-scale", dest="scale", action="store_false")
+    ap.add_argument("--out", type=str, default="./result/dir_tpu")
+    ap.add_argument("--dtype", type=str, default="float32",
+                    choices=["float32", "bfloat16"])
+    opt = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from dir_tpu.config import ModelConfig
+    from dir_tpu.data.interhand import InterHandDataset
+    from dir_tpu.data.loader import BatchLoader
+    from dir_tpu.mano import load_mano_pair
+    from dir_tpu.models.dir import DIR
+    from dir_tpu.train import checkpoint as ckpt
+    from dir_tpu.train import evaluate
+    from dir_tpu.utils.logger import setup_logger
+
+    logger = setup_logger(name="dir_tpu.eval")
+    os.makedirs(opt.out, exist_ok=True)
+
+    mano_l, mano_r = load_mano_pair(opt.mano_path)
+    cfg = ModelConfig(root_joint=opt.root_joint, dtype=opt.dtype)
+    model = DIR(cfg)
+
+    img0 = jnp.zeros((1, 256, 256, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img0, mano_l, mano_r)
+
+    if opt.model.endswith(".pth"):
+        logger.info("converting torch checkpoint %s", opt.model)
+        params, stats = ckpt.load_torch_dir_checkpoint(opt.model)
+        variables = {
+            "params": ckpt.prune_to_target(params, variables["params"]),
+            "batch_stats": ckpt.prune_to_target(stats,
+                                                variables["batch_stats"]),
+        }
+    else:
+        from dir_tpu.train.state import TrainState
+        import jax.numpy as jnp2
+        state = TrainState(step=jnp2.zeros((), jnp2.int32),
+                           params=variables["params"],
+                           batch_stats=variables["batch_stats"],
+                           opt_state=None)
+        restored = ckpt.restore_checkpoint(os.path.dirname(opt.model) or ".",
+                                           state,
+                                           os.path.basename(opt.model))
+        variables = {"params": restored.params,
+                     "batch_stats": restored.batch_stats}
+
+    ds = InterHandDataset(opt.data_path, "test", mano_l, mano_r,
+                          augment_train=False)
+    loader = BatchLoader(ds, opt.bs, shuffle=False, drop_last=False,
+                         pad_last=True, num_threads=4)
+    logger.info("evaluating %d samples", len(ds))
+
+    jreg_l = evaluate.extended_j_regressor(mano_l)
+    jreg_r = evaluate.extended_j_regressor(mano_r)
+
+    @jax.jit
+    def forward(img):
+        out = model.apply(variables, img, mano_l, mano_r, train=False)
+        f = out["stages"][-1]
+        return (f["pd_mesh_xyz_left"], f["pd_mesh_xyz_right"],
+                f["pd_offset"])
+
+    dump = {k: [] for k in ("joint_left", "joint_right", "vert_left",
+                            "vert_right", "joint2d_left", "joint2d_right",
+                            "vert2d_left", "vert2d_right", "root",
+                            "joints_xyz_left", "joints_xyz_right")}
+    for batch in loader:
+        vl, vr, off = forward(jnp.asarray(batch["img"]))
+        errs = evaluate.batch_errors(
+            vl, vr, off,
+            jnp.asarray(batch["mesh_3d_left"]),
+            jnp.asarray(batch["mesh_3d_right"]),
+            jnp.asarray(batch["camera"]), jreg_l, jreg_r,
+            root_joint=opt.root_joint, scale_align=opt.scale)
+        n = int(batch["_valid"])
+        for k in dump:
+            dump[k].append(np.asarray(errs[k])[:n])
+
+    d = {k: np.concatenate(v, axis=0) for k, v in dump.items()}
+    np.savetxt(f"{opt.out}/left_joint.txt",
+               d["joints_xyz_left"].reshape(-1, 63) * 1000, fmt="%.3f")
+    np.savetxt(f"{opt.out}/right_joint.txt",
+               d["joints_xyz_right"].reshape(-1, 63) * 1000, fmt="%.3f")
+    np.savetxt(f"{opt.out}/joint_left_error.txt", d["joint_left"] * 1000,
+               fmt="%.3f")
+    np.savetxt(f"{opt.out}/joint_right_error.txt", d["joint_right"] * 1000,
+               fmt="%.3f")
+    np.savetxt(f"{opt.out}/mesh_left_error.txt",
+               d["vert_left"].mean(-1) * 1000, fmt="%.3f")
+    np.savetxt(f"{opt.out}/mesh_right_error.txt",
+               d["vert_right"].mean(-1) * 1000, fmt="%.3f")
+    np.savetxt(f"{opt.out}/joint_2d_left_error.txt", d["joint2d_left"],
+               fmt="%.3f")
+    np.savetxt(f"{opt.out}/joint_2d_right_error.txt", d["joint2d_right"],
+               fmt="%.3f")
+    np.savetxt(f"{opt.out}/mesh_2d_left_error.txt",
+               d["vert2d_left"].mean(-1), fmt="%.3f")
+    np.savetxt(f"{opt.out}/mesh_2d_right_error.txt",
+               d["vert2d_right"].mean(-1), fmt="%.3f")
+    np.savetxt(f"{opt.out}/root_loss.txt", d["root"] * 1000, fmt="%.3f")
+
+    jl = d["joint_left"].mean() * 1000
+    jr = d["joint_right"].mean() * 1000
+    vl_ = d["vert_left"].mean() * 1000
+    vr_ = d["vert_right"].mean() * 1000
+    j2l = d["joint2d_left"].mean()
+    j2r = d["joint2d_right"].mean()
+    v2l = d["vert2d_left"].mean()
+    v2r = d["vert2d_right"].mean()
+
+    print("joint mean error:")
+    print(f"    left: {jl} mm, right: {jr} mm")
+    print(f"    all: {(jl + jr) / 2} mm")
+    print("vert mean error:")
+    print(f"    left: {vl_} mm, right: {vr_} mm")
+    print(f"    all: {(vl_ + vr_) / 2} mm")
+    print("pixel joint mean error:")
+    print(f"    left: {j2l} px, right: {j2r} px")
+    print(f"    all: {(j2l + j2r) / 2} px")
+    print("pixel vert mean error:")
+    print(f"    left: {v2l} px, right: {v2r} px")
+    print(f"    all: {(v2l + v2r) / 2} px")
+    print(f"root error: {d['root'].mean() * 1000} mm")
+
+
+if __name__ == "__main__":
+    main()

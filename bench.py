@@ -32,7 +32,7 @@ ITERS = 10
 def main():
     from __graft_entry__ import _flagship
 
-    model, _, mano_l, mano_r = _flagship()
+    model, _, mano_l, mano_r = _flagship(dtype="bfloat16")
     rng = np.random.RandomState(0)
     img = jnp.asarray(rng.randn(BATCH, 256, 256, 3).astype(np.float32))
     # Shape-only init: parameter values are irrelevant for throughput and

@@ -47,6 +47,10 @@ class ModelConfig:
     gcn_layers: int = 4
     # Index of the joint used to center MANO output (0 = wrist).
     root_joint: int = 0
+    # Compute dtype for the conv/transformer network path ("float32" |
+    # "bfloat16"). MANO, geometry, and losses always run fp32 — they set
+    # the mm-level metrics. Params are stored fp32 regardless.
+    dtype: str = "float32"
     # GCN adjacency built from the 21-joint hand skeleton.
     bone_num: int = 20
     # Loss weights (reference: models/dir.py:504-511,567-594).

@@ -48,6 +48,12 @@ class NumpyMano:
         axis = pca @ self.hands_components[: pca.shape[1]] + self.hands_mean
         return self.rodrigues(axis.reshape(-1, 3)).reshape(-1, 15, 3, 3)
 
+    def axis_to_pca(self, axis: np.ndarray) -> np.ndarray:
+        """(B, 45) axis-angle -> PCA coefficients
+        (models/manolayer.py:178-182)."""
+        inv = np.linalg.inv(self.hands_components)
+        return (axis - self.hands_mean) @ inv
+
     def __call__(self, root_rot: np.ndarray, pose: np.ndarray,
                  shape: np.ndarray, trans: np.ndarray | None = None,
                  scale: np.ndarray | None = None,

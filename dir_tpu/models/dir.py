@@ -39,9 +39,9 @@ from dir_tpu.ops.sampling import grid_sample_nhwc
 sg = jax.lax.stop_gradient
 
 
-def _bn(train: bool, name: str) -> nn.BatchNorm:
+def _bn(train: bool, name: str, dtype=jnp.float32) -> nn.BatchNorm:
     return nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                        epsilon=BN_EPS, name=name)
+                        epsilon=BN_EPS, dtype=dtype, name=name)
 
 
 def _mano_and_project(mano_left: ManoModel, mano_right: ManoModel,
@@ -78,27 +78,32 @@ class ImgToJointFeature(nn.Module):
     (models/dir.py:177-200)."""
 
     out_dim: int
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, img_feat: jnp.ndarray, joint_uv: jnp.ndarray,
                  train: bool = False) -> jnp.ndarray:
         sampled = grid_sample_nhwc(img_feat, sg(joint_uv))  # (B, 21, C)
-        return MLP1d(self.out_dim, self.out_dim, name="filters")(
-            sampled, train)
+        return MLP1d(self.out_dim, self.out_dim, dtype=self.dtype,
+                     name="filters")(sampled, train)
 
 
 class AttentionPool(nn.Module):
     """Spatial-attention pooling head (models/dir.py:227-241,263-266)."""
 
+    dtype: object = jnp.float32
+
     @nn.compact
     def __call__(self, feat: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         c = feat.shape[-1]
-        a = nn.Conv(c // 2, (3, 3), padding="SAME",
+        a = nn.Conv(c // 2, (3, 3), padding="SAME", dtype=self.dtype,
                     kernel_init=conv_kernel_init, name="conv1")(feat)
-        a = nn.relu(_bn(train, "bn")(a))
-        a = nn.Conv(1, (1, 1), kernel_init=conv_kernel_init, name="conv2")(a)
-        a = nn.sigmoid(a)
-        num = jnp.sum(feat * a, axis=(1, 2))
+        a = nn.relu(_bn(train, "bn", self.dtype)(a))
+        a = nn.Conv(1, (1, 1), dtype=self.dtype,
+                    kernel_init=conv_kernel_init, name="conv2")(a)
+        a = nn.sigmoid(a.astype(jnp.float32))
+        # fp32 pooled statistics feed the MANO parameter heads
+        num = jnp.sum(feat.astype(jnp.float32) * a, axis=(1, 2))
         den = jnp.sum(a, axis=(1, 2)) + 1e-8
         return num / den
 
@@ -111,12 +116,15 @@ class InitRegressor(nn.Module):
     @nn.compact
     def __call__(self, feat: jnp.ndarray, mano_left: ManoModel,
                  mano_right: ManoModel, train: bool = False) -> dict:
+        dt = jnp.dtype(self.cfg.dtype)
         head_init = conv_init_normal(0.001)
-        feat_left = AttentionPool(name="attention_left")(feat, train)
-        feat_right = AttentionPool(name="attention_right")(feat, train)
+        feat_left = AttentionPool(dtype=dt, name="attention_left")(
+            feat, train)
+        feat_right = AttentionPool(dtype=dt, name="attention_right")(
+            feat, train)
 
         pd_offset = nn.Dense(3, kernel_init=head_init, name="offset")(
-            jnp.mean(feat, axis=(1, 2)))
+            jnp.mean(feat.astype(jnp.float32), axis=(1, 2)))
         para_left = nn.Dense(self.cfg.mano_param_dim, kernel_init=head_init,
                              name="mano_left")(feat_left)
         para_right = nn.Dense(self.cfg.mano_param_dim, kernel_init=head_init,
@@ -144,8 +152,9 @@ class RegressorOffset(nn.Module):
                  train: bool = False) -> dict:
         head_init = conv_init_normal(0.001)
         b = joint_feat_left.shape[0]
-        flat_l = joint_feat_left.reshape(b, -1)
-        flat_r = joint_feat_right.reshape(b, -1)
+        # fp32 parameter heads regardless of the trunk compute dtype
+        flat_l = joint_feat_left.reshape(b, -1).astype(jnp.float32)
+        flat_r = joint_feat_right.reshape(b, -1).astype(jnp.float32)
 
         glob_l = jnp.concatenate([flat_l, sg(prev_para_left)], axis=-1)
         glob_r = jnp.concatenate([flat_r, sg(prev_para_right)], axis=-1)
@@ -178,6 +187,7 @@ class RefineStage(nn.Module):
                  mano_left: ManoModel, mano_right: ManoModel,
                  train: bool = False):
         cfg = self.cfg
+        dt = jnp.dtype(cfg.dtype)
         emd, jdim = cfg.embed_dim, cfg.joint_dim
         scale = cfg.coord_scale
 
@@ -190,20 +200,22 @@ class RefineStage(nn.Module):
         offset = sg(prev["pd_offset"])  # (B, 3)
 
         # --- joint-space interaction ---
-        jif_l = ImgToJointFeature(emd, name="img2joint_left")(
+        jif_l = ImgToJointFeature(emd, dtype=dt, name="img2joint_left")(
             img_feat, uv_l, train)
-        jif_r = ImgToJointFeature(emd, name="img2joint_right")(
+        jif_r = ImgToJointFeature(emd, dtype=dt, name="img2joint_right")(
             img_feat, uv_r, train)
-        jpf_l = MLP1d(emd, emd, name="pos_emb_left")(xyz_l / scale, train)
-        jpf_r = MLP1d(emd, emd, name="pos_emb_right")(xyz_r / scale, train)
+        jpf_l = MLP1d(emd, emd, dtype=dt, name="pos_emb_left")(
+            xyz_l / scale, train)
+        jpf_r = MLP1d(emd, emd, dtype=dt, name="pos_emb_right")(
+            xyz_r / scale, train)
 
         adj = tuple(map(tuple, hand_adjacency(cfg.joint_num)))
-        feat_l = ResSimplePGCN(emd, cfg.gcn_layers, adj, name="gcn_left")(
-            jif_l + jpf_l, train)
-        feat_r = ResSimplePGCN(emd, cfg.gcn_layers, adj, name="gcn_right")(
-            jif_r + jpf_r, train)
+        feat_l = ResSimplePGCN(emd, cfg.gcn_layers, adj, dtype=dt,
+                               name="gcn_left")(jif_l + jpf_l, train)
+        feat_r = ResSimplePGCN(emd, cfg.gcn_layers, adj, dtype=dt,
+                               name="gcn_right")(jif_r + jpf_r, train)
 
-        global_emb = MLP1d(emd, emd, name="global_pos_emb")
+        global_emb = MLP1d(emd, emd, dtype=dt, name="global_pos_emb")
         off = offset[:, None, :]  # (B, 1, 3)
         gpf_l = global_emb(xyz_l / scale - off / 2, train)
         gpf_r = global_emb(xyz_r / scale + off / 2, train)
@@ -214,7 +226,7 @@ class RefineStage(nn.Module):
         tokens = STE(num_joints=2 * cfg.joint_num, in_chans=emd,
                      out_dim=jdim, depth=cfg.ste_depth,
                      num_heads=cfg.ste_heads, mlp_ratio=cfg.ste_mlp_ratio,
-                     name="interaction")(tokens)
+                     dtype=dt, name="interaction")(tokens)
         feat_l, feat_r = jnp.split(tokens, 2, axis=1)  # (B, 21, jdim)
 
         result = RegressorOffset(cfg, name="regressor")(
@@ -222,7 +234,7 @@ class RefineStage(nn.Module):
             mano_left, mano_right, train)
 
         # --- image-space re-projection ---
-        proj_emb = MLP1d(jdim, jdim, name="proj_feat_emb")
+        proj_emb = MLP1d(jdim, jdim, dtype=dt, name="proj_feat_emb")
         pf_l = proj_emb(feat_l, train)
         pf_r = proj_emb(feat_r, train)
         splat_l = bone_splat(result["pd_joint_uv_left"], pf_l,
@@ -230,11 +242,11 @@ class RefineStage(nn.Module):
         splat_r = bone_splat(result["pd_joint_uv_right"], pf_r,
                              self.feature_size, self.distance)
         fused = jnp.concatenate([splat_l, splat_r], axis=-1)
-        fused = nn.Conv(img_feat.shape[-1], (3, 3), padding="SAME",
+        fused = nn.Conv(img_feat.shape[-1], (3, 3), padding="SAME", dtype=dt,
                         kernel_init=conv_kernel_init, name="fusion_conv1")(
             fused)
-        fused = nn.relu(_bn(train, "fusion_bn")(fused))
-        fused = nn.Conv(img_feat.shape[-1], (1, 1),
+        fused = nn.relu(_bn(train, "fusion_bn", dt)(fused))
+        fused = nn.Conv(img_feat.shape[-1], (1, 1), dtype=dt,
                         kernel_init=conv_kernel_init, name="fusion_conv2")(
             fused)
 
@@ -252,15 +264,17 @@ class SegDenseHead(nn.Module):
     (models/dir.py:411-420)."""
 
     out_ch: int = 3
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         c = x.shape[-1]
-        x = nn.Conv(c // 2, (3, 3), padding="SAME",
+        x = nn.Conv(c // 2, (3, 3), padding="SAME", dtype=self.dtype,
                     kernel_init=conv_kernel_init, name="conv1")(x)
-        x = nn.relu(_bn(train, "bn")(x))
-        return nn.Conv(self.out_ch, (1, 1), kernel_init=conv_kernel_init,
-                       name="conv2")(x)
+        x = nn.relu(_bn(train, "bn", self.dtype)(x))
+        out = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype,
+                      kernel_init=conv_kernel_init, name="conv2")(x)
+        return out.astype(jnp.float32)
 
 
 class Decoder(nn.Module):
@@ -273,14 +287,15 @@ class Decoder(nn.Module):
     def __call__(self, feats, init_out: dict, mano_left: ManoModel,
                  mano_right: ManoModel, train: bool = False) -> dict:
         cfg = self.cfg
+        dt = jnp.dtype(cfg.dtype)
         d = cfg.decoder_dim
         c1, c2, c3, c4 = feats
         outputs = []
 
         # Stage 1 @ 16x16 (dir.py:441-456)
         c4_up = upsample2x(c4)
-        c3_skip = Residual(d, name="skip_layer4")(c3, train)
-        fusion = Residual(d, name="fusion_layer4")(
+        c3_skip = Residual(d, dtype=dt, name="skip_layer4")(c3, train)
+        fusion = Residual(d, dtype=dt, name="fusion_layer4")(
             jnp.concatenate([c4_up, c3_skip], axis=-1), train)
         # Feature size derived from the actual map (16 at 256^2 input) so
         # the model is input-size agnostic; distances stay configured.
@@ -288,15 +303,15 @@ class Decoder(nn.Module):
             cfg, fusion.shape[1], cfg.stage_distances[0],
             name="projecter_4")(fusion, init_out, mano_left, mano_right,
                                 train)
-        enhance = Residual(d, name="enhance_layer4")(
+        enhance = Residual(d, dtype=dt, name="enhance_layer4")(
             jnp.concatenate([fusion, stage_feats["img_feat"]], axis=-1),
             train)
         outputs.append(result)
 
         # Stage 2 @ 32x32 (dir.py:458-471)
         c3_up = upsample2x(enhance)
-        c2_skip = Residual(d, name="skip_layer3")(c2, train)
-        fusion = Residual(d, name="fusion_layer3")(
+        c2_skip = Residual(d, dtype=dt, name="skip_layer3")(c2, train)
+        fusion = Residual(d, dtype=dt, name="fusion_layer3")(
             jnp.concatenate([c3_up, c2_skip], axis=-1), train)
         result, stage_feats = RefineStage(
             cfg, fusion.shape[1], cfg.stage_distances[1],
@@ -338,6 +353,7 @@ class DIR(nn.Module):
     def __call__(self, img: jnp.ndarray, mano_left: ManoModel,
                  mano_right: ManoModel, train: bool = False) -> dict:
         feats = ResNetPyramid(layers=self.cfg.backbone_layers,
+                              dtype=jnp.dtype(self.cfg.dtype),
                               name="backbone")(img, train)
         init_out = InitRegressor(self.cfg, name="init_regressor")(
             feats[-1], mano_left, mano_right, train)

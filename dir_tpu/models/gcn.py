@@ -48,6 +48,7 @@ class PGraphConv(nn.Module):
 
     out_features: int
     adjacency: tuple  # static nested tuple (J, J) of 0/1
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, J, C)
@@ -72,10 +73,12 @@ class PGraphConv(nn.Module):
         a1 = jnp.full((j * j,), neg, x.dtype).at[
             jnp.asarray(flat_idx)].set(e1).reshape(j, j)
 
-        a0 = nn.softmax(a0, axis=1)
-        a1 = nn.softmax(a1, axis=1)
+        a0 = nn.softmax(a0, axis=1).astype(self.dtype)
+        a1 = nn.softmax(a1, axis=1).astype(self.dtype)
         del mask1  # the mask is encoded in a1's -inf pattern
 
+        w = w.astype(self.dtype)
+        x = x.astype(self.dtype)
         h0 = jnp.einsum("bjc,jcd->bjd", x, w[0])
         h1 = jnp.einsum("bjc,jcd->bjd", x, w[1])
         out = jnp.einsum("jk,bkd->bjd", a0, h0) + jnp.einsum(
@@ -102,12 +105,14 @@ class GraphConvBlock(nn.Module):
 
     out_features: int
     adjacency: tuple
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = PGraphConv(self.out_features, self.adjacency, name="gconv")(x)
+        x = PGraphConv(self.out_features, self.adjacency, dtype=self.dtype,
+                       name="gconv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, name="bn")(x)
+                         epsilon=BN_EPS, dtype=self.dtype, name="bn")(x)
         return nn.relu(x)
 
 
@@ -121,6 +126,7 @@ class ResSimplePGCN(nn.Module):
     hidden_dim: int
     num_layers: int = 4
     adjacency: tuple = None
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -128,6 +134,6 @@ class ResSimplePGCN(nn.Module):
         if adj is None:
             adj = tuple(map(tuple, hand_adjacency(x.shape[1])))
         for i in range(self.num_layers):
-            x = GraphConvBlock(self.hidden_dim, adj, name=f"layer{i}")(
-                x, train)
+            x = GraphConvBlock(self.hidden_dim, adj, dtype=self.dtype,
+                               name=f"layer{i}")(x, train)
         return x

@@ -34,17 +34,18 @@ class ConvBNRelu(nn.Module):
     use_bn: bool = True
     use_relu: bool = True
     use_bias: bool = True
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride), padding="SAME",
                     use_bias=self.use_bias, kernel_init=conv_kernel_init,
-                    name="conv")(x)
+                    dtype=self.dtype, name="conv")(x)
         if self.use_bn:
             x = nn.BatchNorm(use_running_average=not train,
                              momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                             name="bn")(x)
+                             dtype=self.dtype, name="bn")(x)
         if self.use_relu:
             x = nn.relu(x)
         return x
@@ -55,6 +56,7 @@ class Residual(nn.Module):
     (models/backbone/hourglass.py:33-70)."""
 
     features: int
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -64,22 +66,26 @@ class Residual(nn.Module):
             skip = x
         else:
             skip = nn.Conv(self.features, (1, 1), use_bias=True,
-                           kernel_init=conv_kernel_init, name="skip")(x)
+                           kernel_init=conv_kernel_init, dtype=self.dtype,
+                           name="skip")(x)
 
         def bn(name):
             return nn.BatchNorm(use_running_average=not train,
                                 momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                                name=name)
+                                dtype=self.dtype, name=name)
 
         out = nn.relu(bn("bn1")(x))
         out = nn.Conv(half, (1, 1), use_bias=True,
-                      kernel_init=conv_kernel_init, name="conv1")(out)
+                      kernel_init=conv_kernel_init, dtype=self.dtype,
+                      name="conv1")(out)
         out = nn.relu(bn("bn2")(out))
         out = nn.Conv(half, (3, 3), padding="SAME", use_bias=True,
-                      kernel_init=conv_kernel_init, name="conv2")(out)
+                      kernel_init=conv_kernel_init, dtype=self.dtype,
+                      name="conv2")(out)
         out = nn.relu(bn("bn3")(out))
         out = nn.Conv(self.features, (1, 1), use_bias=True,
-                      kernel_init=conv_kernel_init, name="conv3")(out)
+                      kernel_init=conv_kernel_init, dtype=self.dtype,
+                      name="conv3")(out)
         return out + skip
 
 
@@ -93,14 +99,15 @@ class MLP1d(nn.Module):
 
     hidden: int
     out: int
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, name="bn")(x)
+                         epsilon=BN_EPS, dtype=self.dtype, name="bn")(x)
         x = nn.relu(x)
-        x = nn.Dense(self.out, name="fc2")(x)
+        x = nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
         return x
 
 

@@ -28,31 +28,35 @@ class Bottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     expansion: int = 4
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         def bn(name):
             return nn.BatchNorm(use_running_average=not train,
                                 momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                                name=name)
+                                dtype=self.dtype, name=name)
 
         identity = x
         out = nn.Conv(self.planes, (1, 1), use_bias=False,
-                      kernel_init=conv_kernel_init, name="conv1")(x)
+                      kernel_init=conv_kernel_init, dtype=self.dtype,
+                      name="conv1")(x)
         out = nn.relu(bn("bn1")(out))
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
                       padding="SAME", use_bias=False,
-                      kernel_init=conv_kernel_init, name="conv2")(out)
+                      kernel_init=conv_kernel_init, dtype=self.dtype,
+                      name="conv2")(out)
         out = nn.relu(bn("bn2")(out))
         out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
-                      kernel_init=conv_kernel_init, name="conv3")(out)
+                      kernel_init=conv_kernel_init, dtype=self.dtype,
+                      name="conv3")(out)
         out = bn("bn3")(out)
 
         if self.downsample:
             identity = nn.Conv(self.planes * self.expansion, (1, 1),
                                strides=(self.stride, self.stride),
                                use_bias=False, kernel_init=conv_kernel_init,
-                               name="down_conv")(x)
+                               dtype=self.dtype, name="down_conv")(x)
             identity = bn("down_bn")(identity)
         return nn.relu(out + identity)
 
@@ -61,14 +65,16 @@ class ResNetPyramid(nn.Module):
     """ResNet backbone emitting [c1, c2, c3, c4]."""
 
     layers: Sequence[int] = (3, 4, 6, 3)  # resnet50
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
+        x = x.astype(self.dtype)
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, kernel_init=conv_kernel_init,
-                    name="conv1")(x)
+                    dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, name="bn1")(x)
+                         epsilon=BN_EPS, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2),
                         padding=((1, 1), (1, 1)))
@@ -78,9 +84,11 @@ class ResNetPyramid(nn.Module):
         for stage, (blocks, p) in enumerate(zip(self.layers, planes)):
             stride = 1 if stage == 0 else 2
             x = Bottleneck(p, stride=stride, downsample=True,
+                           dtype=self.dtype,
                            name=f"layer{stage + 1}_0")(x, train)
             for b in range(1, blocks):
-                x = Bottleneck(p, name=f"layer{stage + 1}_{b}")(x, train)
+                x = Bottleneck(p, dtype=self.dtype,
+                               name=f"layer{stage + 1}_{b}")(x, train)
             feats.append(x)
         return feats
 

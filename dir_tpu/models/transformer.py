@@ -23,12 +23,13 @@ import jax.numpy as jnp
 class Mlp(nn.Module):
     hidden: int
     out: int
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
-        x = nn.Dense(self.out, name="fc2")(x)
+        x = nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
         return x
 
 
@@ -37,6 +38,7 @@ class Attention(nn.Module):
 
     num_heads: int
     qkv_bias: bool = True
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -44,14 +46,15 @@ class Attention(nn.Module):
         head_dim = c // self.num_heads
         scale = head_dim ** -0.5
 
-        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
 
         attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
         attn = nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, c)
-        return nn.Dense(c, name="proj")(out)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
 
 class Block(nn.Module):
@@ -60,14 +63,17 @@ class Block(nn.Module):
     num_heads: int
     mlp_ratio: float = 2.0
     qkv_bias: bool = True
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
-        x = x + Attention(self.num_heads, self.qkv_bias, name="attn")(
-            nn.LayerNorm(epsilon=1e-6, name="norm1")(x))
-        x = x + Mlp(int(c * self.mlp_ratio), c, name="mlp")(
-            nn.LayerNorm(epsilon=1e-6, name="norm2")(x))
+        x = x + Attention(self.num_heads, self.qkv_bias, dtype=self.dtype,
+                          name="attn")(
+            nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x))
+        x = x + Mlp(int(c * self.mlp_ratio), c, dtype=self.dtype,
+                    name="mlp")(
+            nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x))
         return x
 
 
@@ -81,6 +87,7 @@ class STE(nn.Module):
     num_heads: int = 4
     mlp_ratio: float = 2.0
     qkv_bias: bool = True
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, J2, C)
@@ -88,11 +95,12 @@ class STE(nn.Module):
                          (1, self.num_joints, self.in_chans))
         x = x + pos
         # One shared norm applied after every block (mixSTE.py:187,200).
-        spatial_norm = nn.LayerNorm(epsilon=1e-6, name="spatial_norm")
+        spatial_norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                    name="spatial_norm")
         # Reference executes blocks 1..depth-1 only (mixSTE.py:197).
         for i in range(1, self.depth):
             x = Block(self.num_heads, self.mlp_ratio, self.qkv_bias,
-                      name=f"block{i}")(x)
+                      dtype=self.dtype, name=f"block{i}")(x)
             x = spatial_norm(x)
-        x = nn.LayerNorm(epsilon=1e-5, name="head_norm")(x)
-        return nn.Dense(self.out_dim, name="head")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="head_norm")(x)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="head")(x)

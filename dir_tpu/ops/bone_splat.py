@@ -46,7 +46,10 @@ def bone_splat(joint_uv: jnp.ndarray, joint_feat: jnp.ndarray,
         channel-minor — matching the reference's channel ordering so the
         downstream fusion conv maps 1:1 to the torch checkpoint.
     """
-    dtype = joint_feat.dtype
+    # Geometry (distances/weights) always in fp32; only the feature
+    # interpolation runs in the (possibly bf16) feature dtype.
+    dtype = jnp.float32
+    feat_dtype = joint_feat.dtype
     b = joint_uv.shape[0]
     c = joint_feat.shape[-1]
     parent = jnp.asarray(PARENT)
@@ -84,6 +87,7 @@ def bone_splat(joint_uv: jnp.ndarray, joint_feat: jnp.ndarray,
 
     feat_a = joint_feat[:, parent][:, None]  # (B, 1, 20, C)
     feat_b = joint_feat[:, child][:, None]
-    out = feat_a * w_a[..., None] + feat_b * w_b[..., None]
-    out = jnp.where(mask[..., None], out, jnp.zeros((), dtype))
+    out = (feat_a * w_a[..., None].astype(feat_dtype)
+           + feat_b * w_b[..., None].astype(feat_dtype))
+    out = jnp.where(mask[..., None], out, jnp.zeros((), feat_dtype))
     return out.reshape(b, size, size, 20 * c)

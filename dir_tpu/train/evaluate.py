@@ -41,6 +41,91 @@ def extended_j_regressor(model: ManoModel) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("root_joint", "scale_align"))
+def batch_errors(pred_verts_left: jnp.ndarray,
+                 pred_verts_right: jnp.ndarray,
+                 pred_offset: jnp.ndarray,
+                 gt_verts_left: jnp.ndarray,
+                 gt_verts_right: jnp.ndarray,
+                 camera: jnp.ndarray,
+                 jreg_left: jnp.ndarray,
+                 jreg_right: jnp.ndarray,
+                 root_joint: int = 0,
+                 scale_align: bool = True) -> Dict[str, jnp.ndarray]:
+    """Per-sample, per-point errors (no reduction) — feeds the
+    reference-style per-sample dump files (apps/eval.py:271-282).
+
+    Returns: joint_{left,right} (B, 21) m; vert_{left,right} (B, 778) m;
+    joint2d/vert2d px; root (B,) m; plus aligned prediction joints.
+    """
+
+    def reg(jreg, v):
+        return jnp.einsum("jv,bvc->bjc", jreg, v)
+
+    rj = root_joint
+    gt_j_l = reg(jreg_left, gt_verts_left)
+    gt_j_r = reg(jreg_right, gt_verts_right)
+    gt_j2_l = xyz_to_uv(gt_j_l, camera[:, None])
+    gt_j2_r = xyz_to_uv(gt_j_r, camera[:, None])
+    gt_v2_l = xyz_to_uv(gt_verts_left, camera[:, None])
+    gt_v2_r = xyz_to_uv(gt_verts_right, camera[:, None])
+
+    gt_offset = gt_j_r[:, rj:rj + 1] - gt_j_l[:, rj:rj + 1]
+    root_l_gt = gt_j_l[:, rj:rj + 1]
+    root_r_gt = gt_j_r[:, rj:rj + 1]
+    len_l_gt = jnp.linalg.norm(gt_j_l[:, 9] - gt_j_l[:, 0], axis=-1)
+    len_r_gt = jnp.linalg.norm(gt_j_r[:, 9] - gt_j_r[:, 0], axis=-1)
+
+    pd_j_l = reg(jreg_left, pred_verts_left)
+    pd_j_r = reg(jreg_right, pred_verts_right)
+    root_l_pd = pd_j_l[:, rj:rj + 1]
+    root_r_pd = pd_j_r[:, rj:rj + 1]
+    len_l_pd = jnp.linalg.norm(pd_j_l[:, 9] - pd_j_l[:, 0], axis=-1)
+    len_r_pd = jnp.linalg.norm(pd_j_r[:, 9] - pd_j_r[:, 0], axis=-1)
+    if scale_align:
+        sc_l = (len_l_gt / len_l_pd)[:, None, None]
+        sc_r = (len_r_gt / len_r_pd)[:, None, None]
+    else:
+        sc_l = sc_r = jnp.ones_like(len_l_gt)[:, None, None]
+
+    jl = (pd_j_l - root_l_pd) * sc_l
+    jr = (pd_j_r - root_r_pd) * sc_r
+    vl = (pred_verts_left - root_l_pd) * sc_l
+    vr = (pred_verts_right - root_r_pd) * sc_r
+    gjl = gt_j_l - root_l_gt
+    gjr = gt_j_r - root_r_gt
+    gvl = gt_verts_left - root_l_gt
+    gvr = gt_verts_right - root_r_gt
+
+    def err(a, b):
+        return jnp.linalg.norm(a - b, axis=-1)
+
+    rel_pred = pred_offset[:, None, :] * 0.15
+    if root_joint != 0:
+        pd_j_r_off = pd_j_r + rel_pred
+        rel_pred = (pd_j_r_off[:, rj:rj + 1] - pd_j_l[:, rj:rj + 1])
+
+    return {
+        "joint_left": err(jl, gjl),
+        "joint_right": err(jr, gjr),
+        "vert_left": err(vl, gvl),
+        "vert_right": err(vr, gvr),
+        "joint2d_left": err(xyz_to_uv(jl + root_l_gt, camera[:, None]),
+                            gt_j2_l),
+        "joint2d_right": err(xyz_to_uv(jr + root_r_gt, camera[:, None]),
+                             gt_j2_r),
+        "vert2d_left": err(xyz_to_uv(vl + root_l_gt, camera[:, None]),
+                           gt_v2_l),
+        "vert2d_right": err(xyz_to_uv(vr + root_r_gt, camera[:, None]),
+                            gt_v2_r),
+        "root": jnp.linalg.norm(gt_offset - rel_pred, axis=-1)[:, 0],
+        "joints_xyz_left": jl,
+        "joints_xyz_right": jr,
+        "joints_xyz_left_gt": gjl,
+        "joints_xyz_right_gt": gjr,
+    }
+
+
+@partial(jax.jit, static_argnames=("root_joint", "scale_align"))
 def batch_metrics(pred_verts_left: jnp.ndarray,
                   pred_verts_right: jnp.ndarray,
                   pred_offset: jnp.ndarray,

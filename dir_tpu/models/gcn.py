@@ -66,12 +66,14 @@ class PGraphConv(nn.Module):
         n_edges = int(np.asarray(self.adjacency).sum())
         e1 = self.param("e1", nn.initializers.ones, (n_edges,))
 
-        neg = jnp.asarray(-9e15, x.dtype)
-        a0 = jnp.where(mask0, jnp.diag(e0), neg)
+        # Edge-score softmax always in fp32 (the -9e15 masking constant
+        # and single-edge rows are ill-conditioned in bf16).
+        neg = jnp.float32(-9e15)
+        a0 = jnp.where(mask0, jnp.diag(e0.astype(jnp.float32)), neg)
         # Scatter e1 into mask1 positions in row-major order.
         flat_idx = np.nonzero(np.asarray(self.adjacency).reshape(-1) > 0)[0]
-        a1 = jnp.full((j * j,), neg, x.dtype).at[
-            jnp.asarray(flat_idx)].set(e1).reshape(j, j)
+        a1 = jnp.full((j * j,), neg, jnp.float32).at[
+            jnp.asarray(flat_idx)].set(e1.astype(jnp.float32)).reshape(j, j)
 
         a0 = nn.softmax(a0, axis=1).astype(self.dtype)
         a1 = nn.softmax(a1, axis=1).astype(self.dtype)

@@ -1,0 +1,118 @@
+"""Pallas TPU kernel for the bone-feature splat.
+
+One program per batch element: the 21 joint positions and features are
+tiny and live in VMEM/SMEM; the kernel computes all S^2 x 20
+point-to-segment distances and interpolation weights on the VPU and
+writes the (S, S, 20*C) feature map in one pass — no HBM-materialized
+(B, S^2, 20) distance tensor, no separate gather kernels.
+
+Numerics match dir_tpu.ops.bone_splat.bone_splat (fp32 geometry, feature
+dtype for the interpolation); the backward pass reuses the jnp
+implementation's VJP via jax.custom_vjp, so training is unaffected.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dir_tpu.ops.bone_splat import (PARENT, CHILD,
+                                    bone_splat as _bone_splat_jnp)
+
+
+def _kernel(uv_ref, feat_ref, out_ref, *, size: int, distance: float,
+            channels: int):
+    s2 = size * size
+    f32 = jnp.float32
+
+    uv = uv_ref[0].astype(f32)            # (21, 2)
+    uv = (uv + 1.0) / 2.0 * size
+    feat = feat_ref[0]                    # (21, C)
+
+    # static gathers (PARENT/CHILD are python tuples; captured device
+    # constants are not allowed in pallas kernels)
+    a = jnp.stack([uv[k] for k in PARENT])        # (20, 2)
+    b = jnp.stack([uv[k] for k in CHILD])
+
+    # pixel centers (S^2, 1): x varies fastest
+    idx = jax.lax.broadcasted_iota(jnp.int32, (s2, 1), 0)
+    px = (idx % size).astype(f32) + 0.5
+    py = (idx // size).astype(f32) + 0.5
+
+    ax, ay = a[:, 0][None, :], a[:, 1][None, :]   # (1, 20)
+    bx, by = b[:, 0][None, :], b[:, 1][None, :]
+    dx, dy = bx - ax, by - ay
+    seg_len = jnp.sqrt(dx * dx + dy * dy)
+    inv_len = jnp.where(seg_len > 0, 1.0 / jnp.maximum(seg_len, 1e-30), 1.0)
+    ux, uy = dx * inv_len, dy * inv_len
+
+    # s = (a - p) . u ; t = (p - b) . u   (models/dir.py:132-144)
+    s_ = (ax - px) * ux + (ay - py) * uy          # (S^2, 20)
+    t_ = (px - bx) * ux + (py - by) * uy
+    h = jnp.maximum(jnp.maximum(s_, t_), 0.0)
+    cross = (px - ax) * uy - (py - ay) * ux
+    seg_dist = jnp.sqrt(h * h + cross * cross)
+    mask = (seg_dist < distance) & (seg_len > 0)
+
+    dist_a = jnp.sqrt((px - ax) ** 2 + (py - ay) ** 2)
+    dist_b = jnp.sqrt((px - bx) ** 2 + (py - by) ** 2)
+    denom = dist_a + dist_b
+    denom = jnp.where(denom > 0, denom, 1.0)
+    w_a = jnp.where(mask, 1.0 - dist_a / denom, 0.0)
+    w_b = jnp.where(mask, 1.0 - dist_b / denom, 0.0)
+
+    fa = jnp.stack([feat[k] for k in PARENT])     # (20, C)
+    fb = jnp.stack([feat[k] for k in CHILD])
+    out = (w_a[:, :, None].astype(feat.dtype) * fa[None]
+           + w_b[:, :, None].astype(feat.dtype) * fb[None])  # (S^2, 20, C)
+    out_ref[0] = out.reshape(size, size, 20 * channels)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def bone_splat_pallas(joint_uv: jnp.ndarray, joint_feat: jnp.ndarray,
+                      size: int, distance: float) -> jnp.ndarray:
+    """Drop-in Pallas replacement for ops.bone_splat.bone_splat."""
+    b = joint_uv.shape[0]
+    c = joint_feat.shape[-1]
+    kernel = functools.partial(_kernel, size=size, distance=distance,
+                               channels=c)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 21, 2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 21, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, size, size, 20 * c),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, size, size, 20 * c),
+                                       joint_feat.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=b * size * size * 20 * (30 + 2 * c),
+            bytes_accessed=b * size * size * 20 * c * joint_feat.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(joint_uv, joint_feat)
+
+
+def _fwd(joint_uv, joint_feat, size, distance):
+    out = bone_splat_pallas(joint_uv, joint_feat, size, distance)
+    return out, (joint_uv, joint_feat)
+
+
+def _bwd(size, distance, res, g):
+    joint_uv, joint_feat = res
+    _, vjp = jax.vjp(
+        lambda uv, f: _bone_splat_jnp(uv, f, size, distance),
+        joint_uv, joint_feat)
+    return vjp(g)
+
+
+bone_splat_pallas.defvjp(_fwd, _bwd)

@@ -51,6 +51,9 @@ class ModelConfig:
     # "bfloat16"). MANO, geometry, and losses always run fp32 — they set
     # the mm-level metrics. Params are stored fp32 regardless.
     dtype: str = "float32"
+    # Use the fused Pallas bone-splat kernel (TPU only; the jnp path is
+    # used on CPU and under interpret-mode tests).
+    use_pallas_splat: bool = False
     # GCN adjacency built from the 21-joint hand skeleton.
     bone_num: int = 20
     # Loss weights (reference: models/dir.py:504-511,567-594).

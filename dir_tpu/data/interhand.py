@@ -21,7 +21,7 @@ from typing import Dict, Optional, Tuple
 import cv2 as cv
 import numpy as np
 
-from dir_tpu.data import augment
+from dir_tpu.data import augment, native
 from dir_tpu.data.mano_np import NumpyMano
 from dir_tpu.mano.assets import ManoModel
 
@@ -111,12 +111,13 @@ class InterHandDataset:
 
         center_left = jl[9:10].copy()
         center_right = jr[9:10].copy()
-        seg = augment.seg_from_mask(mask, do_flip)
+        seg = native.seg_from_mask(mask, do_flip)
 
         if self.augment_train:
             img = augment.add_noise(img, rng, noise=0.01)
 
-        img_norm = augment.normalize_image(img)
+        img_norm = native.normalize_bgr(img, augment.IMAGENET_MEAN,
+                                        augment.IMAGENET_STD)
         dense_norm = dense[:, :, ::-1].astype(np.float32) / 255.0
 
         def nuv(l2d, l3d):

@@ -237,10 +237,15 @@ class RefineStage(nn.Module):
         proj_emb = MLP1d(jdim, jdim, dtype=dt, name="proj_feat_emb")
         pf_l = proj_emb(feat_l, train)
         pf_r = proj_emb(feat_r, train)
-        splat_l = bone_splat(result["pd_joint_uv_left"], pf_l,
-                             self.feature_size, self.distance)
-        splat_r = bone_splat(result["pd_joint_uv_right"], pf_r,
-                             self.feature_size, self.distance)
+        if cfg.use_pallas_splat:
+            from dir_tpu.ops.pallas_bone_splat import bone_splat_pallas
+            splat = lambda uv, f: bone_splat_pallas(  # noqa: E731
+                uv, f, self.feature_size, float(self.distance))
+        else:
+            splat = lambda uv, f: bone_splat(  # noqa: E731
+                uv, f, self.feature_size, self.distance)
+        splat_l = splat(result["pd_joint_uv_left"], pf_l)
+        splat_r = splat(result["pd_joint_uv_right"], pf_r)
         fused = jnp.concatenate([splat_l, splat_r], axis=-1)
         fused = nn.Conv(img_feat.shape[-1], (3, 3), padding="SAME", dtype=dt,
                         kernel_init=conv_kernel_init, name="fusion_conv1")(

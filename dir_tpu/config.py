@@ -100,6 +100,7 @@ class TrainConfig:
     weight_decay: float = 0.01  # torch AdamW default
     seed: int = 25
     print_every: int = 100
+    draw_every: int = 100  # skeleton-overlay dumps (0 disables)
     eval_every_epochs: int = 1
     output_dir: str = "./output/dir_tpu"
     checkpoint: str = ""

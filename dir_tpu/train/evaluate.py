@@ -64,10 +64,10 @@ def batch_errors(pred_verts_left: jnp.ndarray,
     rj = root_joint
     gt_j_l = reg(jreg_left, gt_verts_left)
     gt_j_r = reg(jreg_right, gt_verts_right)
-    gt_j2_l = xyz_to_uv(gt_j_l, camera[:, None])
-    gt_j2_r = xyz_to_uv(gt_j_r, camera[:, None])
-    gt_v2_l = xyz_to_uv(gt_verts_left, camera[:, None])
-    gt_v2_r = xyz_to_uv(gt_verts_right, camera[:, None])
+    gt_j2_l = xyz_to_uv(gt_j_l, camera)
+    gt_j2_r = xyz_to_uv(gt_j_r, camera)
+    gt_v2_l = xyz_to_uv(gt_verts_left, camera)
+    gt_v2_r = xyz_to_uv(gt_verts_right, camera)
 
     gt_offset = gt_j_r[:, rj:rj + 1] - gt_j_l[:, rj:rj + 1]
     root_l_gt = gt_j_l[:, rj:rj + 1]
@@ -109,13 +109,13 @@ def batch_errors(pred_verts_left: jnp.ndarray,
         "joint_right": err(jr, gjr),
         "vert_left": err(vl, gvl),
         "vert_right": err(vr, gvr),
-        "joint2d_left": err(xyz_to_uv(jl + root_l_gt, camera[:, None]),
+        "joint2d_left": err(xyz_to_uv(jl + root_l_gt, camera),
                             gt_j2_l),
-        "joint2d_right": err(xyz_to_uv(jr + root_r_gt, camera[:, None]),
+        "joint2d_right": err(xyz_to_uv(jr + root_r_gt, camera),
                              gt_j2_r),
-        "vert2d_left": err(xyz_to_uv(vl + root_l_gt, camera[:, None]),
+        "vert2d_left": err(xyz_to_uv(vl + root_l_gt, camera),
                            gt_v2_l),
-        "vert2d_right": err(xyz_to_uv(vr + root_r_gt, camera[:, None]),
+        "vert2d_right": err(xyz_to_uv(vr + root_r_gt, camera),
                             gt_v2_r),
         "root": jnp.linalg.norm(gt_offset - rel_pred, axis=-1)[:, 0],
         "joints_xyz_left": jl,
@@ -152,10 +152,10 @@ def batch_metrics(pred_verts_left: jnp.ndarray,
 
     gt_j_l = reg(jreg_left, gt_verts_left)
     gt_j_r = reg(jreg_right, gt_verts_right)
-    gt_j2_l = xyz_to_uv(gt_j_l, camera[:, None])
-    gt_j2_r = xyz_to_uv(gt_j_r, camera[:, None])
-    gt_v2_l = xyz_to_uv(gt_verts_left, camera[:, None])
-    gt_v2_r = xyz_to_uv(gt_verts_right, camera[:, None])
+    gt_j2_l = xyz_to_uv(gt_j_l, camera)
+    gt_j2_r = xyz_to_uv(gt_j_r, camera)
+    gt_v2_l = xyz_to_uv(gt_verts_left, camera)
+    gt_v2_r = xyz_to_uv(gt_verts_right, camera)
 
     rj = root_joint
     gt_offset = gt_j_r[:, rj:rj + 1] - gt_j_l[:, rj:rj + 1]
@@ -198,13 +198,13 @@ def batch_metrics(pred_verts_left: jnp.ndarray,
     # 2D pixel errors: re-anchor predictions at the GT root
     # (apps/eval.py:212-215).
     out["joint2d_left_sum_px"] = mean_err(
-        xyz_to_uv(jl + root_l_gt, camera[:, None]), gt_j2_l)
+        xyz_to_uv(jl + root_l_gt, camera), gt_j2_l)
     out["joint2d_right_sum_px"] = mean_err(
-        xyz_to_uv(jr + root_r_gt, camera[:, None]), gt_j2_r)
+        xyz_to_uv(jr + root_r_gt, camera), gt_j2_r)
     out["vert2d_left_sum_px"] = mean_err(
-        xyz_to_uv(vl + root_l_gt, camera[:, None]), gt_v2_l)
+        xyz_to_uv(vl + root_l_gt, camera), gt_v2_l)
     out["vert2d_right_sum_px"] = mean_err(
-        xyz_to_uv(vr + root_r_gt, camera[:, None]), gt_v2_r)
+        xyz_to_uv(vr + root_r_gt, camera), gt_v2_r)
 
     # Inter-hand root offset (apps/eval.py:233-241).
     rel_pred = pred_offset[:, None, :] * 0.15

@@ -122,6 +122,8 @@ class Trainer:
                         self.logger.info(
                             "[epoch %d][it %d] lr %.6f loss %.4f", epoch, it,
                             lr, total)
+                    if c.train.draw_every and it % c.train.draw_every == 0:
+                        self._dump_vis(batch, epoch, it)
                 dt = time.perf_counter() - t0
                 self.logger.info("epoch %d done in %.1fs", epoch, dt)
                 ckpt.save_checkpoint(ckpt_dir, self.state,
@@ -134,6 +136,29 @@ class Trainer:
                         ckpt.save_checkpoint(ckpt_dir, self.state,
                                              int(self.state.step), "best")
         return best
+
+    def _dump_vis(self, batch, epoch: int, it: int):
+        """Skeleton-overlay dumps of GT vs prediction (train.py:17-55,
+        77-82 equivalent). One forward of the current batch on the
+        up-to-date params."""
+        from dir_tpu.utils.visualize import save_prediction_grid
+        vis_dir = os.path.join(self.cfg.train.output_dir, "vis")
+        os.makedirs(vis_dir, exist_ok=True)
+        variables = {"params": self.state.params,
+                     "batch_stats": self.state.batch_stats}
+        out = self.eval_step(variables, shard_batch(
+            jnp.asarray(batch["img"]), self.mesh))
+        final = out["stages"][-1]
+        size = self.cfg.data.img_size
+        img = np.asarray(batch["img_rgb"][0]) if "img_rgb" in batch else (
+            (np.asarray(batch["img"][0]) * 0 + 127))
+        for side in ("left", "right"):
+            gt = (np.asarray(batch[f"joint_2d_{side}"][0][:, :2]) + 1) \
+                / 2 * size
+            pd = (np.asarray(final[f"pd_joint_uv_{side}"][0]) + 1) / 2 * size
+            save_prediction_grid(
+                os.path.join(vis_dir, f"e{epoch}_i{it}_{side}.png"),
+                img.astype(np.uint8), gt, pd)
 
     def evaluate(self) -> Dict[str, float]:
         """Run the benchmark metrics over the test split

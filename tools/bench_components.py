@@ -66,7 +66,7 @@ def main():
 
     # bone splat at 32x32 (stage 2, the big one)
     uv = jnp.asarray(rng.uniform(-1, 1, (BATCH, 21, 2)).astype(np.float32))
-    feat = jnp.asarray(rng.randn(BATCH, 21, 64).astype(np.bfloat16))
+    feat = jnp.asarray(rng.randn(BATCH, 21, 64).astype(np.float32)).astype(jnp.bfloat16)
     timeit("splat32_jnp", lambda u, f: bone_splat(u, f, 32, 2.0), uv, feat)
     timeit("splat32_pallas",
            lambda u, f: bone_splat_pallas(u, f, 32, 2.0), uv, feat)

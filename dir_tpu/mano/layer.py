@@ -137,6 +137,25 @@ def mano_skin(model: ManoModel,
     return verts, joints
 
 
+def _pca6d_impl(model: ManoModel,
+                pose_coeffs: jnp.ndarray,
+                betas: jnp.ndarray,
+                center_idx: int | None = 0,
+                flat_hand_mean: bool = False,
+                robust_rot: bool = True):
+    ncomps = pose_coeffs.shape[1] - 6
+    axis45 = pca_to_axis(model, pose_coeffs[:, 6:6 + ncomps],
+                         add_mean=not flat_hand_mean)
+    # Quaternion-Rodrigues pose map — the manopth path
+    # (manopth/tensutils.py:6-13).
+    local_rots = batch_rodrigues(axis45.reshape(-1, 3)).reshape(-1, 15, 3, 3)
+    if robust_rot:
+        root_rot = robust_rot6d_to_rotmat(pose_coeffs[:, :6])
+    else:
+        root_rot = rot6d_to_rotmat(pose_coeffs[:, :6])
+    return mano_skin(model, root_rot, local_rots, betas, center_idx)
+
+
 @partial(jax.jit, static_argnames=("center_idx", "flat_hand_mean",
                                    "robust_rot"))
 def mano_forward_pca6d(model: ManoModel,
@@ -149,17 +168,28 @@ def mano_forward_pca6d(model: ManoModel,
 
     Returns (verts, joints) in meters, root-centered at ``center_idx``.
     """
-    ncomps = pose_coeffs.shape[1] - 6
-    axis45 = pca_to_axis(model, pose_coeffs[:, 6:6 + ncomps],
-                         add_mean=not flat_hand_mean)
-    # Quaternion-Rodrigues pose map — the manopth path
-    # (manopth/tensutils.py:6-13).
-    local_rots = batch_rodrigues(axis45.reshape(-1, 3)).reshape(-1, 15, 3, 3)
-    if robust_rot:
-        root_rot = robust_rot6d_to_rotmat(pose_coeffs[:, :6])
-    else:
-        root_rot = rot6d_to_rotmat(pose_coeffs[:, :6])
-    return mano_skin(model, root_rot, local_rots, betas, center_idx)
+    return _pca6d_impl(model, pose_coeffs, betas, center_idx,
+                       flat_hand_mean, robust_rot)
+
+
+def stack_mano_pair(left: ManoModel, right: ManoModel) -> ManoModel:
+    """Stack both hands' constants along a leading axis for the paired
+    forward (every op then processes both hands at once — the hand loop
+    the reference runs twice per stage collapses into one vmapped call)."""
+    return jax.tree.map(lambda a, b: jnp.stack([a, b]), left, right)
+
+
+def mano_forward_pca6d_pair(pair: ManoModel,
+                            pose_coeffs: jnp.ndarray,
+                            betas: jnp.ndarray,
+                            center_idx: int | None = 0,
+                            flat_hand_mean: bool = False,
+                            robust_rot: bool = True):
+    """Paired forward: pair from :func:`stack_mano_pair`; pose/betas have
+    a leading hand axis (2, B, ...). Returns (verts, joints) (2, B, ...)."""
+    fn = partial(_pca6d_impl, center_idx=center_idx,
+                 flat_hand_mean=flat_hand_mean, robust_rot=robust_rot)
+    return jax.vmap(fn, in_axes=(0, 0, 0))(pair, pose_coeffs, betas)
 
 
 @partial(jax.jit, static_argnames=("center_idx", "use_pca"))

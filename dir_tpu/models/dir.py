@@ -25,7 +25,8 @@ import jax.numpy as jnp
 
 from dir_tpu.config import ModelConfig
 from dir_tpu.mano.assets import ManoModel
-from dir_tpu.mano.layer import mano_forward_pca6d
+from dir_tpu.mano.layer import (mano_forward_pca6d, mano_forward_pca6d_pair,
+                                stack_mano_pair)
 from dir_tpu.models.layers import (MLP1d, Residual, conv_init_normal,
                                    conv_kernel_init, upsample2x, BN_EPS,
                                    BN_MOMENTUM)
@@ -49,13 +50,19 @@ def _mano_and_project(mano_left: ManoModel, mano_right: ManoModel,
                       root_joint: int) -> dict:
     """Run both MANO hands + weak-perspective projection from a (B, 64)
     parameter vector each: [6D root + 45 PCA | 10 betas | scale, tx, ty]
-    (reference: models/dir.py:272-280, 353-361)."""
+    (reference: models/dir.py:272-280, 353-361).
+
+    Both hands run as ONE vmapped MANO call — the per-hand op sequence
+    the reference executes twice per stage is batched over a leading
+    hand axis (MANO dominates the non-backbone cost on TPU)."""
     pose_l, beta_l, cam_l = jnp.split(para_left, [51, 61], axis=-1)
     pose_r, beta_r, cam_r = jnp.split(para_right, [51, 61], axis=-1)
-    mesh_l, joint_l = mano_forward_pca6d(mano_left, pose_l, beta_l,
-                                         center_idx=root_joint)
-    mesh_r, joint_r = mano_forward_pca6d(mano_right, pose_r, beta_r,
-                                         center_idx=root_joint)
+    pair = stack_mano_pair(mano_left, mano_right)
+    verts, joints = mano_forward_pca6d_pair(
+        pair, jnp.stack([pose_l, pose_r]), jnp.stack([beta_l, beta_r]),
+        center_idx=root_joint)
+    mesh_l, mesh_r = verts[0], verts[1]
+    joint_l, joint_r = joints[0], joints[1]
     out = {
         "pd_mano_para_left": para_left,
         "pd_mano_para_right": para_right,

@@ -26,7 +26,29 @@ from dir_tpu.data.rasterizer import (dense_colors, mask_colors,
 from dir_tpu.mano.assets import ManoModel
 
 IMG_SIZE = 256
-CROP_RATIO = 0.8  # HAND_BBOX_RATIO (dataset/dataset_utils.py:6)
+CROP_RATIO = 0.8    # HAND_BBOX_RATIO (dataset/dataset_utils.py:6)
+HEATMAP_SIZE = 64   # dataset/dataset_utils.py:7
+HEATMAP_SIGMA = 2   # dataset/dataset_utils.py:8
+
+
+def joint_heatmaps(joints2d: np.ndarray, img_size: int = IMG_SIZE,
+                   hm_size: int = HEATMAP_SIZE,
+                   sigma: float = HEATMAP_SIGMA) -> np.ndarray:
+    """(21, 2) pixel joints -> (21, hm, hm) gaussian heatmaps.
+
+    The reference's eval dataset READS 7 packed heatmap jpgs per hand
+    (dataset/interhand.py:62-66) but its prepare step never writes them
+    (prepare_data.py:179 creates the dir only) — we close that gap:
+    21 channels packed 3-per-jpg into 7 files.
+    """
+    scale = hm_size / img_size
+    yy, xx = np.mgrid[0:hm_size, 0:hm_size]
+    maps = []
+    for j in joints2d:
+        cx, cy = j[0] * scale, j[1] * scale
+        d2 = (xx - cx) ** 2 + (yy - cy) ** 2
+        maps.append(np.exp(-d2 / (2.0 * sigma ** 2)))
+    return np.stack(maps).astype(np.float32)
 
 
 def cut_two_hand_img(img, label2d_list, camera, img_size=IMG_SIZE,
@@ -114,7 +136,7 @@ def prepare_split(root: str, save_dir: str, split: str,
     loader = InterHandRawLoader(root, split)
     manos = {"left": NumpyMano(mano_left), "right": NumpyMano(mano_right)}
     faces = np.asarray(mano_left.faces)
-    for sub in ("img", "mask", "dense", "anno"):
+    for sub in ("img", "mask", "dense", "anno", "hms"):
         os.makedirs(os.path.join(save_dir, split, sub), exist_ok=True)
 
     idx_out = 0
@@ -154,14 +176,35 @@ def prepare_split(root: str, save_dir: str, split: str,
             params[hand] = {"R": root_rot.astype(np.float32),
                             "pose": pca, "shape": shape, "trans": trans}
 
-        crop, _, K_new = cut_two_hand_img(img, verts2d, K)
+        crop, labels_out, K_new = cut_two_hand_img(img, verts2d, K)
         cv.imwrite(os.path.join(save_dir, split, "img", f"{idx_out}.jpg"),
                    crop)
-        anno = {"camera": {"R": R, "t": t, "camera": K_new},
+        # Schema matches the reference's anno pkl (prepare_data.py:157-164)
+        anno = {"inter_idx": idx_out,
+                "image": fr.get("image_info"),
+                "annotation": fr.get("annotation"),
+                "camera": {"R": R, "t": t, "camera": K_new},
                 "mano_params": params}
         with open(os.path.join(save_dir, split, "anno",
                                f"{idx_out}.pkl"), "wb") as f:
             pickle.dump(anno, f)
+
+        # Per-hand joint heatmaps, 21 channels packed 3-per-jpg
+        # (the eval dataset's 7-file layout, dataset/interhand.py:62-66).
+        for hand in ("left", "right"):
+            verts_h = verts_cam[hand]
+            j21 = np.einsum("jv,vc->jc",
+                            _j21_regressor(manos[hand]), verts_h)
+            p = j21 @ K_new.T
+            j2d = p[:, :2] / p[:, 2:]
+            hms = joint_heatmaps(j2d)
+            for h_idx in range(7):
+                pack = np.transpose(hms[3 * h_idx:3 * h_idx + 3],
+                                    (1, 2, 0))
+                cv.imwrite(os.path.join(
+                    save_dir, split, "hms",
+                    f"{idx_out}_{h_idx}_{hand}.jpg"),
+                    (pack * 255).astype(np.uint8))
 
         if render:
             nv = verts_cam["left"].shape[0]

@@ -7,10 +7,12 @@ distances and interpolation weights on the VPU and writes the
 (the XLA lowering of the jnp path costs ~8.5 ms at batch 64 / S=32 on a
 v5e, close to the whole ResNet-50 forward).
 
-Everything inside the kernel is rank-2 (Mosaic rejects shape casts like
-(S^2, 20, C) -> (S, S, 20C)): the per-bone weights are lane-repeated to
-(S^2, 20*C) and the endpoint features pre-flattened to (1, 20*C); the
-final (B, S^2, 20C) -> (B, S, S, 20C) reshape happens outside in XLA.
+Everything inside the kernel is rank-2 and gather-free (Mosaic rejects
+shape casts like (S^2, 20, C) -> (S, S, 20C) and small-row concats):
+endpoint coordinates and features are pre-gathered in XLA, the per-bone
+feature interpolation folds into one block-diagonal selector matmul on
+the MXU, and the final (B, S^2, 20C) -> (B, S, S, 20C) reshape happens
+outside.
 
 Numerics match dir_tpu.ops.bone_splat.bone_splat (fp32 geometry, feature
 dtype for the interpolation); the backward pass reuses the jnp
@@ -30,27 +32,22 @@ from dir_tpu.ops.bone_splat import (PARENT, CHILD,
                                     bone_splat as _bone_splat_jnp)
 
 
-def _kernel(uv_ref, feat_ref, sel_ref, out_ref, *, size: int,
+def _kernel(ends_ref, fa_ref, fb_ref, sel_ref, out_ref, *, size: int,
             distance: float, channels: int):
     s2 = size * size
     c = channels
     f32 = jnp.float32
 
-    uv = uv_ref[0].astype(f32)            # (21, 2)
-    uv = (uv + 1.0) / 2.0 * size
-    feat = feat_ref[0]                    # (21, C)
-
-    # static gathers (PARENT/CHILD are python tuples)
-    a = jnp.stack([uv[k] for k in PARENT])        # (20, 2)
-    b = jnp.stack([uv[k] for k in CHILD])
+    # pre-gathered endpoint coordinates, already in pixel units:
+    # rows [ax, ay, bx, by], each (1, 20)
+    ends = ends_ref[0].astype(f32)                # (4, 20)
+    ax, ay = ends[0:1], ends[1:2]
+    bx, by = ends[2:3], ends[3:4]
 
     # pixel centers (S^2, 1): x varies fastest
     idx = jax.lax.broadcasted_iota(jnp.int32, (s2, 1), 0)
     px = (idx % size).astype(f32) + 0.5
     py = (idx // size).astype(f32) + 0.5
-
-    ax, ay = a[:, 0][None, :], a[:, 1][None, :]   # (1, 20)
-    bx, by = b[:, 0][None, :], b[:, 1][None, :]
     dx, dy = bx - ax, by - ay
     seg_len = jnp.sqrt(dx * dx + dy * dy)
     inv_len = jnp.where(seg_len > 0, 1.0 / jnp.maximum(seg_len, 1e-30), 1.0)
@@ -75,17 +72,18 @@ def _kernel(uv_ref, feat_ref, sel_ref, out_ref, *, size: int,
     # out[:, k*C + i] = w_a[:, k] * fa[k, i] + w_b[:, k] * fb[k, i]
     #                = (w_a @ (E * fa_flat) + w_b @ (E * fb_flat))[:, kC+i]
     # where E (20, 20C) is the 0/1 block-diagonal selector input and
-    # fa_flat (1, 20C) the bone-major flattened endpoint features.
+    # fa_flat/fb_flat (1, 20C) the bone-major flattened endpoint
+    # features, pre-gathered in XLA (in-kernel gathers/concats of small
+    # rows hit Mosaic layout limitations).
     sel = sel_ref[...]                                    # (20, 20C)
-    fa = jnp.concatenate([feat[k:k + 1] for k in PARENT], axis=1)
-    fb = jnp.concatenate([feat[k:k + 1] for k in CHILD], axis=1)
+    fa = fa_ref[0]                                        # (1, 20C)
+    fb = fb_ref[0]
+    dtype = fa.dtype
     m_a = sel * fa                                        # (20, 20C)
     m_b = sel * fb
-    out = (jnp.dot(w_a.astype(feat.dtype), m_a,
-                   preferred_element_type=f32)
-           + jnp.dot(w_b.astype(feat.dtype), m_b,
-                     preferred_element_type=f32))
-    out_ref[0] = out.astype(feat.dtype)
+    out = (jnp.dot(w_a.astype(dtype), m_a, preferred_element_type=f32)
+           + jnp.dot(w_b.astype(dtype), m_b, preferred_element_type=f32))
+    out_ref[0] = out.astype(dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -101,13 +99,23 @@ def bone_splat_pallas(joint_uv: jnp.ndarray, joint_feat: jnp.ndarray,
     for k in range(20):
         sel[k, k * c:(k + 1) * c] = 1.0
     sel = jnp.asarray(sel, joint_feat.dtype)
+    parent = jnp.asarray(PARENT)
+    child = jnp.asarray(CHILD)
+    fa_flat = joint_feat[:, parent].reshape(b, 1, 20 * c)
+    fb_flat = joint_feat[:, child].reshape(b, 1, 20 * c)
+    uv_pix = (joint_uv.astype(jnp.float32) + 1.0) / 2.0 * size
+    ends = jnp.stack([uv_pix[:, parent, 0], uv_pix[:, parent, 1],
+                      uv_pix[:, child, 0], uv_pix[:, child, 1]],
+                     axis=1)  # (B, 4, 20)
     out = pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, 21, 2), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 4, 20), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 21, c), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, 20 * c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 20 * c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((20, 20 * c), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -123,7 +131,7 @@ def bone_splat_pallas(joint_uv: jnp.ndarray, joint_feat: jnp.ndarray,
             * joint_feat.dtype.itemsize,
             transcendentals=0,
         ),
-    )(joint_uv, joint_feat, sel)
+    )(ends, fa_flat, fb_flat, sel)
     return out.reshape(b, size, size, 20 * c)
 
 

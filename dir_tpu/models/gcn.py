@@ -118,6 +118,53 @@ class GraphConvBlock(nn.Module):
         return nn.relu(x)
 
 
+def get_hierarchy_sketch():
+    """Hierarchical coarsening edge lists (SemGCN/utils.py:74-99):
+    21 -> 11 -> 6 -> 1 node graphs."""
+    return (
+        HAND_EDGES,
+        ((0, 1), (1, 2), (0, 3), (3, 4), (0, 5), (5, 6), (0, 7), (7, 8),
+         (0, 9), (9, 10)),
+        ((0, 1), (0, 2), (0, 3), (0, 4), (0, 5)),
+        ((0, 0),),
+    )
+
+
+def get_hierarchy_mapping():
+    """Node-pooling maps between hierarchy levels (SemGCN/utils.py:94-99)."""
+    return (
+        ((0,), (1, 2), (3, 4), (5, 6), (7, 8), (9, 10), (11, 12), (13, 14),
+         (15, 16), (17, 18), (19, 20)),
+        ((0,), (1, 2), (3, 4), (5, 6), (7, 8), (9, 10)),
+        ((0, 1, 2, 3, 4, 5),),
+    )
+
+
+class SimplePGCN(nn.Module):
+    """in -> hidden x num_layers -> out graph conv stack
+    (SemGCN/p_gcn.py:44-60)."""
+
+    in_dim: int
+    hidden_dim: int
+    out_dim: int
+    num_layers: int = 4
+    adjacency: tuple = None
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        adj = self.adjacency
+        if adj is None:
+            adj = tuple(map(tuple, hand_adjacency(x.shape[1])))
+        x = GraphConvBlock(self.hidden_dim, adj, dtype=self.dtype,
+                           name="gconv_in")(x, train)
+        for i in range(self.num_layers):
+            x = GraphConvBlock(self.hidden_dim, adj, dtype=self.dtype,
+                               name=f"layer{i}")(x, train)
+        return GraphConvBlock(self.out_dim, adj, dtype=self.dtype,
+                              name="gconv_out")(x, train)
+
+
 class ResSimplePGCN(nn.Module):
     """Stack of GraphConvBlocks at constant width (SemGCN/p_gcn.py:63-73).
 

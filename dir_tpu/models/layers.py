@@ -111,6 +111,37 @@ class MLP1d(nn.Module):
         return x
 
 
+class Hourglass(nn.Module):
+    """Recursive hourglass (models/backbone/hourglass.py:73-97).
+
+    Constructed-but-unused by the reference DIR; provided for parity of
+    the component library (nearest-neighbor upsampling per the torch
+    module's mode='nearest')."""
+
+    depth: int
+    features: int
+    increase: int = 0
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        import jax
+        nf = self.features + self.increase
+        up1 = Residual(self.features, dtype=self.dtype, name="up1")(x, train)
+        low = nn.max_pool(x, (2, 2), strides=(2, 2))
+        low = Residual(nf, dtype=self.dtype, name="low1")(low, train)
+        if self.depth > 1:
+            low = Hourglass(self.depth - 1, nf, dtype=self.dtype,
+                            name="low2")(low, train)
+        else:
+            low = Residual(nf, dtype=self.dtype, name="low2")(low, train)
+        low = Residual(self.features, dtype=self.dtype, name="low3")(
+            low, train)
+        b, h, w, c = low.shape
+        up2 = jax.image.resize(low, (b, 2 * h, 2 * w, c), method="nearest")
+        return up1 + up2
+
+
 def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
     """Bilinear 2x upsampling with torch ``nn.Upsample(align_corners=False)``
     semantics (reference: models/dir.py:392,398).

@@ -126,3 +126,18 @@ def test_mlp1d_and_upsample(rng):
                          align_corners=False)
     want = want.permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(np.asarray(up), want, atol=1e-5)
+
+
+def test_hourglass_and_simple_pgcn(rng):
+    from dir_tpu.models.layers import Hourglass
+    from dir_tpu.models.gcn import SimplePGCN, get_hierarchy_mapping
+    x = jnp.asarray(rng.randn(1, 16, 16, 32).astype(np.float32))
+    hg = Hourglass(depth=2, features=32)
+    v = hg.init(jax.random.PRNGKey(0), x)
+    assert hg.apply(v, x).shape == (1, 16, 16, 32)
+
+    t = jnp.asarray(rng.randn(2, 21, 8).astype(np.float32))
+    gc = SimplePGCN(8, 16, 4, num_layers=2)
+    v = gc.init(jax.random.PRNGKey(0), t)
+    assert gc.apply(v, t).shape == (2, 21, 4)
+    assert len(get_hierarchy_mapping()) == 3

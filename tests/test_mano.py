@@ -177,3 +177,15 @@ def test_mano_gradients_finite(rng):
     assert np.all(np.isfinite(np.asarray(gp)))
     assert np.all(np.isfinite(np.asarray(gb)))
     assert float(jnp.max(jnp.abs(gp))) > 0
+
+
+def test_local_frames_orthonormal(rng):
+    from dir_tpu.mano.frames import local_frames
+    model = synthetic_mano("right", seed=12)
+    betas = jnp.asarray(rng.randn(2, 10).astype(np.float32))
+    frames = np.asarray(local_frames(model, betas))
+    assert frames.shape == (2, 15, 3, 3)
+    eye = np.eye(3)
+    for f in frames.reshape(-1, 3, 3):
+        np.testing.assert_allclose(f @ f.T, eye, atol=1e-4)
+        assert np.linalg.det(f) > 0.9

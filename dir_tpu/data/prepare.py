@@ -75,6 +75,19 @@ def cut_two_hand_img(img, label2d_list, camera, img_size=IMG_SIZE,
     return out, label_out, cam
 
 
+def _j21_regressor(mano: NumpyMano) -> np.ndarray:
+    """(21, 778) joint regressor: 16 MANO rows + 5 fingertip one-hots,
+    reordered to the 21-joint convention (apps/eval.py:27-41)."""
+    base = mano.j_regressor.astype(np.float32)
+    tips = np.zeros((5, base.shape[1]), np.float32)
+    for i, v in enumerate((745, 317, 444, 556, 673)):
+        tips[i, v] = 1.0
+    j21 = np.concatenate([base, tips], axis=0)
+    order = [0, 13, 14, 15, 16, 1, 2, 3, 17, 4, 5, 6, 18,
+             10, 11, 12, 19, 7, 8, 9, 20]
+    return j21[order]
+
+
 class InterHandRawLoader:
     """Reader over the raw InterHand2.6M release (annotations/{split}/
     InterHand2.6M_{split}_{data,camera,MANO_NeuralAnnot}.json)

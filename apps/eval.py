@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--out", type=str, default="./result/dir_tpu")
     ap.add_argument("--dtype", type=str, default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--backbone_layers", type=str, default="3,4,6,3",
+                    help="comma-separated resnet stage depths")
+    ap.add_argument("--synthetic_mano", action="store_true",
+                    help="use the synthetic test MANO (smoke runs)")
     opt = ap.parse_args()
 
     import jax
@@ -49,14 +53,23 @@ def main():
     logger = setup_logger(name="dir_tpu.eval")
     os.makedirs(opt.out, exist_ok=True)
 
-    mano_l, mano_r = load_mano_pair(opt.mano_path)
-    cfg = ModelConfig(root_joint=opt.root_joint, dtype=opt.dtype)
+    if opt.synthetic_mano:
+        from dir_tpu.mano import synthetic_mano, fix_left_shapedirs
+        mano_r = synthetic_mano("right", seed=0)
+        mano_l = fix_left_shapedirs(synthetic_mano("left", seed=0), mano_r)
+    else:
+        mano_l, mano_r = load_mano_pair(opt.mano_path)
+    layers = tuple(int(x) for x in opt.backbone_layers.split(","))
+    cfg = ModelConfig(root_joint=opt.root_joint, dtype=opt.dtype,
+                      backbone_layers=layers)
     model = DIR(cfg)
 
     img0 = jnp.zeros((1, 256, 256, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), img0, mano_l, mano_r)
 
-    if opt.model.endswith(".pth"):
+    if opt.model == "random":
+        logger.info("random-init smoke evaluation")
+    elif opt.model.endswith(".pth"):
         logger.info("converting torch checkpoint %s", opt.model)
         params, stats = ckpt.load_torch_dir_checkpoint(opt.model)
         variables = {

@@ -160,32 +160,40 @@ class Trainer:
                 os.path.join(vis_dir, f"e{epoch}_i{it}_{side}.png"),
                 img.astype(np.uint8), gt, pd)
 
-    def evaluate(self) -> Dict[str, float]:
-        """Run the benchmark metrics over the test split
-        (apps/eval.py semantics, final refinement stage)."""
+    def evaluate(self, all_stages: bool = False) -> Dict[str, float]:
+        """Run the benchmark metrics over the test split (apps/eval.py
+        semantics). By default evaluates the final refinement stage; with
+        ``all_stages`` logs every stage like the reference's in-loop
+        test_model (train.py:177-199) and returns the final stage's
+        summary."""
         jreg_l = evaluate.extended_j_regressor(self.mano_left)
         jreg_r = evaluate.extended_j_regressor(self.mano_right)
         variables = {"params": self.state.params,
                      "batch_stats": self.state.batch_stats}
-        acc: Dict[str, float] = {}
+        num_stages = 3 if all_stages else 1
+        accs = [dict() for _ in range(num_stages)]
         with self.mesh:
             for batch in self.test_loader:
                 img = shard_batch(batch["img"], self.mesh)
                 out = self.eval_step(variables, img)
-                final = out["stages"][-1]
+                stages = out["stages"][-num_stages:]
                 valid = np.zeros(batch["img"].shape[0], np.float32)
                 valid[: int(batch["_valid"])] = 1.0
-                metrics = evaluate.batch_metrics(
-                    final["pd_mesh_xyz_left"], final["pd_mesh_xyz_right"],
-                    final["pd_offset"],
-                    jnp.asarray(batch["mesh_3d_left"]),
-                    jnp.asarray(batch["mesh_3d_right"]),
-                    jnp.asarray(batch["camera"]),
-                    jreg_l, jreg_r, jnp.asarray(valid),
-                    root_joint=self.cfg.model.root_joint)
-                for k, v in metrics.items():
-                    acc[k] = acc.get(k, 0.0) + float(v)
-        summary = evaluate.summarize(acc)
-        for k, v in summary.items():
-            self.logger.info("%s: %.4f", k, v)
-        return summary
+                for si, stage in enumerate(stages):
+                    metrics = evaluate.batch_metrics(
+                        stage["pd_mesh_xyz_left"],
+                        stage["pd_mesh_xyz_right"],
+                        stage["pd_offset"],
+                        jnp.asarray(batch["mesh_3d_left"]),
+                        jnp.asarray(batch["mesh_3d_right"]),
+                        jnp.asarray(batch["camera"]),
+                        jreg_l, jreg_r, jnp.asarray(valid),
+                        root_joint=self.cfg.model.root_joint)
+                    for k, v in metrics.items():
+                        accs[si][k] = accs[si].get(k, 0.0) + float(v)
+        summaries = [evaluate.summarize(a) for a in accs]
+        for si, summary in enumerate(summaries):
+            tag = f"stage{si}" if all_stages else "final"
+            for k, v in summary.items():
+                self.logger.info("[%s] %s: %.4f", tag, k, v)
+        return summaries[-1]

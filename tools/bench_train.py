@@ -50,10 +50,11 @@ def main():
     }
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
-    variables = jax.tree.map(
-        lambda s: jnp.zeros(s.shape, s.dtype),
-        jax.eval_shape(lambda: model.init(
-            jax.random.PRNGKey(0), batch["img"][:1], mano_l, mano_r)))
+    # real (jitted) init: zero params make the robust-6D gradients blow
+    # up within a few repeated steps and the loss reads as nan
+    variables = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), batch["img"][:1],
+                           mano_l, mano_r))()
     tx = make_optimizer(TrainConfig(), steps_per_epoch=1000)
     state = create_train_state(variables, tx)
     step_fn = make_train_step(model, tx, cfg, mano_l, mano_r, donate=True)

@@ -85,6 +85,10 @@ class DataConfig:
     aug_blur_prob: float = 0.3
     aug_noise: float = 0.01
     num_workers: int = 4
+    # Fused on-device preprocessing: host does JPEG decode only; MANO GT
+    # synthesis + augmentation + normalization run as one jitted XLA
+    # program per batch (dir_tpu.data.device_pipeline).
+    device_pipeline: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -53,9 +53,20 @@ class Trainer:
 
     def make_data(self):
         c = self.cfg
-        self.train_ds = InterHandDataset(
-            c.data.data_dir, "train", self.mano_left, self.mano_right,
-            img_size=c.data.img_size, seed=c.train.seed)
+        if c.data.device_pipeline:
+            from dir_tpu.data.device_pipeline import (RawInterHandDataset,
+                                                      make_preprocess_fn)
+            self.train_ds = RawInterHandDataset(
+                c.data.data_dir, "train", img_size=c.data.img_size)
+            self.preprocess_train = make_preprocess_fn(
+                self.mano_left, self.mano_right, img_size=c.data.img_size,
+                train=True)
+            self._aug_key = jax.random.PRNGKey(c.train.seed)
+        else:
+            self.train_ds = InterHandDataset(
+                c.data.data_dir, "train", self.mano_left, self.mano_right,
+                img_size=c.data.img_size, seed=c.train.seed)
+            self.preprocess_train = None
         self.test_ds = InterHandDataset(
             c.data.data_dir, "test", self.mano_left, self.mano_right,
             img_size=c.data.img_size, augment_train=False)
@@ -111,8 +122,16 @@ class Trainer:
             for epoch in range(self.start_epoch, c.train.total_epochs):
                 t0 = time.perf_counter()
                 for it, batch in enumerate(self.train_loader):
-                    dev_batch = shard_batch(
-                        {k: batch[k] for k in _BATCH_KEYS}, self.mesh)
+                    if self.preprocess_train is not None:
+                        raw = shard_batch(
+                            {k: v for k, v in batch.items()
+                             if k != "_valid"}, self.mesh)
+                        self._aug_key, sub = jax.random.split(self._aug_key)
+                        dev_batch = self.preprocess_train(raw, sub)
+                        dev_batch = {k: dev_batch[k] for k in _BATCH_KEYS}
+                    else:
+                        dev_batch = shard_batch(
+                            {k: batch[k] for k in _BATCH_KEYS}, self.mesh)
                     self.state, loss_dict = self.train_step(
                         self.state, dev_batch)
                     if it % c.train.print_every == 0:
@@ -123,7 +142,10 @@ class Trainer:
                             "[epoch %d][it %d] lr %.6f loss %.4f", epoch, it,
                             lr, total)
                     if c.train.draw_every and it % c.train.draw_every == 0:
-                        self._dump_vis(batch, epoch, it)
+                        vis_batch = (dev_batch
+                                     if self.preprocess_train is not None
+                                     else batch)
+                        self._dump_vis(vis_batch, epoch, it)
                 dt = time.perf_counter() - t0
                 self.logger.info("epoch %d done in %.1fs", epoch, dt)
                 ckpt.save_checkpoint(ckpt_dir, self.state,

@@ -66,3 +66,21 @@ def test_eval_metrics_reasonable(env):
                 "joint2d_mean_all_px"):
         assert np.isfinite(summary[key]), key
         assert summary[key] >= 0
+
+
+def test_trainer_device_pipeline(env):
+    """Trainer with the fused on-device preprocessing path."""
+    import dataclasses
+    cfg, left, right = env
+    cfg2 = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, device_pipeline=True),
+        train=dataclasses.replace(
+            cfg.train, draw_every=0,
+            output_dir=cfg.train.output_dir + "_dev"))
+    trainer = Trainer(cfg2, left, right, mesh=make_mesh(2))
+    trainer.make_data()
+    trainer.make_model()
+    best = trainer.train()
+    assert np.isfinite(best)
+    assert int(trainer.state.step) == 2

@@ -46,7 +46,19 @@ class InterHandDataset:
         self.mano = {"left": NumpyMano(mano_left),
                      "right": NumpyMano(mano_right)}
         self.size = len(glob(osp.join(data_path, split, "anno", "*.pkl")))
-        self._rng = np.random.RandomState(seed)
+        self._seed = seed
+        self._epoch_counts = {}
+        import threading
+        self._lock = threading.Lock()
+
+    def _sample_rng(self, idx: int) -> np.random.RandomState:
+        """Deterministic per-(seed, idx, visit) RNG — stable under
+        threaded loading, varying across epochs."""
+        with self._lock:
+            visit = self._epoch_counts.get(idx, 0)
+            self._epoch_counts[idx] = visit + 1
+        return np.random.RandomState(
+            (self._seed * 1000003 + idx * 7919 + visit) % (2 ** 31))
 
     def __len__(self) -> int:
         return self.size
@@ -88,7 +100,7 @@ class InterHandDataset:
                                          "right", R, T, camera)
 
         do_flip = False
-        rng = self._rng
+        rng = self._sample_rng(idx)
         if self.augment_train:
             scale, rot, tx, ty, do_flip = augment.sample_aug_config(rng)
             if do_flip:

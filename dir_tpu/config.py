@@ -23,6 +23,9 @@ class ModelConfig:
     # Backbone pyramid channel dims (ResNet-50): c1..c4.
     backbone: str = "resnet50"
     backbone_layers: Tuple[int, int, int, int] = (3, 4, 6, 3)
+    # Stem variant: "conv7" (torchvision layout) or "s2d"
+    # (space-to-depth + 4x4 conv, exact weight rewrite, faster on TPU).
+    backbone_stem: str = "conv7"
     backbone_dims: Tuple[int, int, int, int] = (256, 512, 1024, 2048)
     # Decoder feature dims per stage (reference fDim, models/dir.py:390).
     decoder_dim: int = 256

@@ -366,6 +366,7 @@ class DIR(nn.Module):
                  mano_right: ManoModel, train: bool = False) -> dict:
         feats = ResNetPyramid(layers=self.cfg.backbone_layers,
                               dtype=jnp.dtype(self.cfg.dtype),
+                              stem=self.cfg.backbone_stem,
                               name="backbone")(img, train)
         init_out = InitRegressor(self.cfg, name="init_regressor")(
             feats[-1], mano_left, mano_right, train)

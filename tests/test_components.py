@@ -141,3 +141,23 @@ def test_hourglass_and_simple_pgcn(rng):
     v = gc.init(jax.random.PRNGKey(0), t)
     assert gc.apply(v, t).shape == (2, 21, 4)
     assert len(get_hierarchy_mapping()) == 3
+
+
+def test_s2d_stem_exactly_matches_conv7(rng):
+    """space-to-depth stem with converted weights == the 7x7/2 stem."""
+    from dir_tpu.models.resnet import ResNetPyramid, stem_weights_to_s2d
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    m7 = ResNetPyramid(layers=(1, 1, 1, 1), stem="conv7")
+    v7 = m7.init(jax.random.PRNGKey(0), x)
+    ms = ResNetPyramid(layers=(1, 1, 1, 1), stem="s2d")
+    vs = ms.init(jax.random.PRNGKey(0), x)
+
+    vs = jax.tree_util.tree_map(lambda v: v, vs)  # copy structure
+    params = dict(v7["params"])
+    params["conv1"] = {"kernel": stem_weights_to_s2d(
+        v7["params"]["conv1"]["kernel"])}
+    out7 = m7.apply(v7, x)
+    outs = ms.apply({"params": params,
+                     "batch_stats": v7["batch_stats"]}, x)
+    for a, b in zip(out7, outs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)

@@ -84,3 +84,39 @@ def test_trainer_device_pipeline(env):
     best = trainer.train()
     assert np.isfinite(best)
     assert int(trainer.state.step) == 2
+
+
+def test_loss_decreases_overfitting_one_batch(env):
+    """30 update steps on a fixed batch must cut the loss substantially —
+    catches broken gradients / update wiring that shape tests miss."""
+    import jax
+    import jax.numpy as jnp
+    from dir_tpu.train.state import create_train_state, make_optimizer
+    from dir_tpu.train.steps import make_train_step
+    from dir_tpu.data.interhand import InterHandDataset
+    from dir_tpu.data.loader import BatchLoader
+    from dir_tpu.models.dir import DIR
+
+    cfg, left, right = env
+    ds = InterHandDataset(cfg.data.data_dir, "train", left, right,
+                          augment_train=False)
+    batch = next(iter(BatchLoader(ds, 2, shuffle=False, num_threads=1)))
+    keys = ("img", "joint_2d_left", "joint_2d_right", "mesh_2d_left",
+            "mesh_2d_right", "joint_3d_left", "joint_3d_right",
+            "mesh_3d_left", "mesh_3d_right", "center_left", "center_right",
+            "seg", "dense")
+    batch = {k: jnp.asarray(batch[k]) for k in keys}
+
+    model = DIR(cfg.model)
+    variables = model.init(jax.random.PRNGKey(0), batch["img"], left, right)
+    tx = make_optimizer(cfg.train, steps_per_epoch=10 ** 6)  # constant lr
+    state = create_train_state(variables, tx)
+    step = make_train_step(model, tx, cfg.model, left, right, donate=False)
+
+    state, first = step(state, batch)
+    first_total = float(sum(jax.tree.map(float, first).values()))
+    for _ in range(30):
+        state, loss = step(state, batch)
+    last_total = float(sum(jax.tree.map(float, loss).values()))
+    assert np.isfinite(last_total)
+    assert last_total < 0.8 * first_total, (first_total, last_total)

@@ -48,11 +48,13 @@ def main():
     mano_r = synthetic_mano("right", seed=0)
     mano_l = fix_left_shapedirs(synthetic_mano("left", seed=0), mano_r)
 
-    # backbone only
-    bk = ResNetPyramid(dtype=jnp.bfloat16)
-    shapes = jax.eval_shape(lambda: bk.init(jax.random.PRNGKey(0), img[:1]))
-    bkv = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
-    timeit("backbone", lambda x: bk.apply(bkv, x)[-1], img)
+    # backbone only (both stems)
+    for stem in ("conv7", "s2d"):
+        bk = ResNetPyramid(dtype=jnp.bfloat16, stem=stem)
+        shapes = jax.eval_shape(
+            lambda: bk.init(jax.random.PRNGKey(0), img[:1]))
+        bkv = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        timeit(f"backbone_{stem}", lambda x: bk.apply(bkv, x)[-1], img)
 
     # MANO pair (12 forwards per full model call: 2 hands x 3 stages x 2?
     # actually 2 hands x 3 stages = 6)

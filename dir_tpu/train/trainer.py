@@ -87,9 +87,10 @@ class Trainer:
         self.sched = lr_schedule(c.train, steps_per_epoch)
 
         img = jnp.zeros((1, c.data.img_size, c.data.img_size, 3), jnp.float32)
-        variables = self.model.init(
+        # jitted init: eager init dispatches thousands of tiny device ops
+        variables = jax.jit(lambda: self.model.init(
             jax.random.PRNGKey(c.train.seed), img, self.mano_left,
-            self.mano_right)
+            self.mano_right))()
         if init_params is not None:
             variables = dict(variables)
             variables["params"] = ckpt.prune_to_target(

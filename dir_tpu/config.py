@@ -128,3 +128,44 @@ class Config:
 
 def default_config() -> Config:
     return Config()
+
+
+def _to_dict(cfg) -> dict:
+    return {f.name: (_to_dict(getattr(cfg, f.name))
+                     if dataclasses.is_dataclass(getattr(cfg, f.name))
+                     else (list(v) if isinstance(
+                         (v := getattr(cfg, f.name)), tuple) else v))
+            for f in dataclasses.fields(cfg)}
+
+
+def _from_dict(cls, d: dict):
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        if dataclasses.is_dataclass(f.type) or f.name in ("model", "data",
+                                                          "train"):
+            sub = {"model": ModelConfig, "data": DataConfig,
+                   "train": TrainConfig}[f.name]
+            kwargs[f.name] = _from_dict(sub, v)
+        elif isinstance(v, list):
+            kwargs[f.name] = tuple(v)
+        else:
+            kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+def save_yaml(cfg: Config, path: str) -> None:
+    """Dump the full config to YAML (replaces the reference's
+    source-snapshot habit, train.py:117-122, with a reproducible record)."""
+    import yaml
+    with open(path, "w") as f:
+        yaml.safe_dump(_to_dict(cfg), f, sort_keys=False)
+
+
+def load_yaml(path: str) -> Config:
+    """Load a config YAML; missing keys keep their defaults."""
+    import yaml
+    with open(path) as f:
+        return _from_dict(Config, yaml.safe_load(f) or {})

@@ -46,6 +46,10 @@ class Trainer:
         os.makedirs(cfg.train.output_dir, exist_ok=True)
         self.logger = setup_logger(
             os.path.join(cfg.train.output_dir, "log"), name="dir_tpu.train")
+        # reproducibility record (replaces the reference's source
+        # snapshotting, train.py:117-122)
+        from dir_tpu.config import save_yaml
+        save_yaml(cfg, os.path.join(cfg.train.output_dir, "config.yaml"))
         self.model = DIR(cfg.model)
         self.start_epoch = 0
 

@@ -23,8 +23,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 A100_EST_IMG_PER_SEC = 1000.0
-BATCH = 64
+BATCH = int(os.environ.get("BENCH_BATCH", "64"))
 WARMUP = 3
 ITERS = 10
 

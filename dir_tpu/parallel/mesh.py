@@ -9,6 +9,27 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Initialize multi-host JAX (one controller per host).
+
+    On Cloud TPU pods the arguments are auto-detected from the
+    environment; pass them explicitly elsewhere. After this,
+    jax.devices() spans the whole pod and :func:`make_mesh` builds the
+    global data mesh — the same train step then shards over every chip
+    with ICI all-reduce inside hosts and DCN between them. No other
+    code changes are needed (single-controller SPMD).
+    """
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(n_devices: Optional[int] = None,
               devices: Optional[Sequence] = None) -> Mesh:
     """1-D data-parallel mesh over the first ``n_devices`` local devices.

@@ -39,23 +39,34 @@ def main():
                          "backbone (models/dir.py:490-498 equivalent)")
     ap.add_argument("--devices", type=int, default=0,
                     help="data-parallel devices (0 = all)")
+    ap.add_argument("--config", type=str, default="",
+                    help="YAML config; CLI flags override nothing when set")
+    ap.add_argument("--device_pipeline", action="store_true",
+                    help="fused on-device preprocessing (host decodes only)")
     opt = ap.parse_args()
 
-    from dir_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+    from dir_tpu.config import (Config, DataConfig, ModelConfig,
+                                TrainConfig, load_yaml)
     from dir_tpu.mano import load_mano_pair
     from dir_tpu.parallel.mesh import make_mesh
     from dir_tpu.train.trainer import Trainer
 
-    cfg = Config(
-        model=ModelConfig(root_joint=opt.root_joint, dtype=opt.dtype),
-        data=DataConfig(data_dir=opt.data_dir, num_workers=opt.num_workers),
-        train=TrainConfig(batch_size=opt.batch_size, total_epochs=opt.epochs,
-                          lr=opt.lr, lr_scheduler=opt.lr_scheduler,
-                          seed=opt.seed, output_dir=opt.output,
-                          checkpoint=opt.resume,
-                          continue_train=bool(opt.resume)),
-        mano_assets=opt.mano_path,
-    )
+    if opt.config:
+        cfg = load_yaml(opt.config)
+    else:
+        cfg = Config(
+            model=ModelConfig(root_joint=opt.root_joint, dtype=opt.dtype),
+            data=DataConfig(data_dir=opt.data_dir,
+                            num_workers=opt.num_workers,
+                            device_pipeline=opt.device_pipeline),
+            train=TrainConfig(batch_size=opt.batch_size,
+                              total_epochs=opt.epochs,
+                              lr=opt.lr, lr_scheduler=opt.lr_scheduler,
+                              seed=opt.seed, output_dir=opt.output,
+                              checkpoint=opt.resume,
+                              continue_train=bool(opt.resume)),
+            mano_assets=opt.mano_path,
+        )
     mano_l, mano_r = load_mano_pair(opt.mano_path)
     mesh = make_mesh(opt.devices if opt.devices else None)
 

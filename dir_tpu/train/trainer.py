@@ -146,6 +146,12 @@ class Trainer:
                         self.logger.info(
                             "[epoch %d][it %d] lr %.6f loss %.4f", epoch, it,
                             lr, total)
+                        if not np.isfinite(total):
+                            # failure detection: stop before the divergence
+                            # overwrites good checkpoints
+                            raise FloatingPointError(
+                                f"non-finite loss at epoch {epoch} it {it};"
+                                f" restart with --resume {ckpt_dir}")
                     if c.train.draw_every and it % c.train.draw_every == 0:
                         vis_batch = (dev_batch
                                      if self.preprocess_train is not None

@@ -26,7 +26,8 @@ import numpy as np
 import os
 
 A100_EST_IMG_PER_SEC = 1000.0
-BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+# 256 matches the reference's eval batch size (apps/eval.py:92)
+BATCH = int(os.environ.get("BENCH_BATCH", "256"))
 WARMUP = 3
 ITERS = 10
 

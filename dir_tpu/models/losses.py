@@ -32,17 +32,32 @@ def _normalize(v: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     return v / jnp.maximum(n, eps)
 
 
+def _face_edges(coord: jnp.ndarray, faces: jnp.ndarray):
+    """Per-face edge difference vectors (v1, v2, v3) via one-hot matmuls.
+
+    Gathers over 1538 faces have a scatter-add backward — slow on TPU.
+    ``faces`` is a compile-time constant, so the edge-difference
+    selection matrices (F, V) constant-fold and both directions run on
+    the MXU (exact: entries are +-1).
+    """
+    nv = coord.shape[1]
+    f0 = jax.nn.one_hot(faces[:, 0], nv, dtype=coord.dtype)
+    f1 = jax.nn.one_hot(faces[:, 1], nv, dtype=coord.dtype)
+    f2 = jax.nn.one_hot(faces[:, 2], nv, dtype=coord.dtype)
+    e1 = jnp.einsum("fv,bvc->bfc", f1 - f0, coord)
+    e2 = jnp.einsum("fv,bvc->bfc", f2 - f0, coord)
+    e3 = jnp.einsum("fv,bvc->bfc", f2 - f1, coord)
+    return e1, e2, e3
+
+
 def normal_vector_loss(coord_out: jnp.ndarray, coord_gt: jnp.ndarray,
                        faces: jnp.ndarray) -> jnp.ndarray:
     """|cos| between predicted edges and GT face normals
     (models/loss.py:6-33)."""
-    f0, f1, f2 = faces[:, 0], faces[:, 1], faces[:, 2]
-    v1o = _normalize(coord_out[:, f1] - coord_out[:, f0])
-    v2o = _normalize(coord_out[:, f2] - coord_out[:, f0])
-    v3o = _normalize(coord_out[:, f2] - coord_out[:, f1])
-    v1g = _normalize(coord_gt[:, f1] - coord_gt[:, f0])
-    v2g = _normalize(coord_gt[:, f2] - coord_gt[:, f0])
-    ng = _normalize(jnp.cross(v1g, v2g))
+    e1o, e2o, e3o = _face_edges(coord_out, faces)
+    e1g, e2g, _ = _face_edges(coord_gt, faces)
+    v1o, v2o, v3o = _normalize(e1o), _normalize(e2o), _normalize(e3o)
+    ng = _normalize(jnp.cross(_normalize(e1g), _normalize(e2g)))
     cos1 = jnp.abs(jnp.sum(v1o * ng, -1))
     cos2 = jnp.abs(jnp.sum(v2o * ng, -1))
     cos3 = jnp.abs(jnp.sum(v3o * ng, -1))
@@ -52,15 +67,14 @@ def normal_vector_loss(coord_out: jnp.ndarray, coord_gt: jnp.ndarray,
 def edge_length_loss(coord_out: jnp.ndarray, coord_gt: jnp.ndarray,
                      faces: jnp.ndarray) -> jnp.ndarray:
     """|edge-length difference| over faces (models/loss.py:36-60)."""
-    f0, f1, f2 = faces[:, 0], faces[:, 1], faces[:, 2]
+    eo = _face_edges(coord_out, faces)
+    eg = _face_edges(coord_gt, faces)
 
-    def elen(c, a, b):
-        return jnp.sqrt(jnp.sum((c[:, a] - c[:, b]) ** 2, -1) + 1e-12)
+    def elen(e):
+        return jnp.sqrt(jnp.sum(e ** 2, -1) + 1e-12)
 
-    d1 = jnp.abs(elen(coord_out, f0, f1) - elen(coord_gt, f0, f1))
-    d2 = jnp.abs(elen(coord_out, f0, f2) - elen(coord_gt, f0, f2))
-    d3 = jnp.abs(elen(coord_out, f1, f2) - elen(coord_gt, f1, f2))
-    return jnp.mean(jnp.stack([d1, d2, d3]))
+    diffs = [jnp.abs(elen(a) - elen(b)) for a, b in zip(eo, eg)]
+    return jnp.mean(jnp.stack(diffs))
 
 
 def weighted_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,

@@ -33,6 +33,7 @@ def env(tmp_path_factory):
     return cfg, left, right
 
 
+@pytest.mark.slow
 def test_trainer_end_to_end(env):
     cfg, left, right = env
     trainer = Trainer(cfg, left, right, mesh=make_mesh(2))
@@ -56,6 +57,7 @@ def test_trainer_end_to_end(env):
         np.asarray(trainer.state.params["backbone"]["conv1"]["kernel"]))
 
 
+@pytest.mark.slow
 def test_eval_metrics_reasonable(env):
     cfg, left, right = env
     trainer = Trainer(cfg, left, right, mesh=make_mesh(2))
@@ -68,6 +70,7 @@ def test_eval_metrics_reasonable(env):
         assert summary[key] >= 0
 
 
+@pytest.mark.slow
 def test_trainer_device_pipeline(env):
     """Trainer with the fused on-device preprocessing path."""
     import dataclasses
@@ -86,6 +89,7 @@ def test_trainer_device_pipeline(env):
     assert int(trainer.state.step) == 2
 
 
+@pytest.mark.slow
 def test_loss_decreases_overfitting_one_batch(env):
     """30 update steps on a fixed batch must cut the loss substantially —
     catches broken gradients / update wiring that shape tests miss."""

@@ -119,10 +119,16 @@ def lovasz_softmax(probas: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
         fg = (lab == ci).astype(flat.dtype)
         errors = jnp.abs(fg - flat[:, ci])
         order = jnp.argsort(-errors)
-        errors_sorted = errors[order]
         fg_sorted = fg[order]
         grad = _lovasz_grad(fg_sorted)
-        return jnp.dot(jax.nn.relu(errors_sorted), grad), jnp.sum(fg) > 0
+        # dot(relu(errors_sorted), grad) == dot(relu(errors), grad[inv]):
+        # unsorting the (detached, reference lovasz_loss.py:109) Lovász
+        # weights instead of sorting the errors removes the permutation
+        # gather from the differentiable path — backward is elementwise,
+        # no TPU scatter.
+        inv = jnp.argsort(order)
+        w = jax.lax.stop_gradient(grad[inv])
+        return jnp.dot(jax.nn.relu(errors), w), jnp.sum(fg) > 0
 
     losses, present = zip(*[class_loss(ci) for ci in range(c)])
     losses = jnp.stack(losses)

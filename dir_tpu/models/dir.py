@@ -35,7 +35,7 @@ from dir_tpu.models.gcn import ResSimplePGCN, hand_adjacency
 from dir_tpu.models.transformer import STE
 from dir_tpu.ops.bone_splat import bone_splat
 from dir_tpu.ops.projection import ortho_project
-from dir_tpu.ops.sampling import grid_sample_nhwc
+from dir_tpu.ops.sampling import grid_sample_nhwc_mm
 
 sg = jax.lax.stop_gradient
 
@@ -90,7 +90,7 @@ class ImgToJointFeature(nn.Module):
     @nn.compact
     def __call__(self, img_feat: jnp.ndarray, joint_uv: jnp.ndarray,
                  train: bool = False) -> jnp.ndarray:
-        sampled = grid_sample_nhwc(img_feat, sg(joint_uv))  # (B, 21, C)
+        sampled = grid_sample_nhwc_mm(img_feat, sg(joint_uv))  # (B, 21, C)
         return MLP1d(self.out_dim, self.out_dim, dtype=self.dtype,
                      name="filters")(sampled, train)
 

@@ -54,3 +54,43 @@ def grid_sample_nhwc(features: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
         + tap(x1, y1, wx1 * wy1)
     )
     return out
+
+
+def grid_sample_nhwc_mm(features: jnp.ndarray,
+                        coords: jnp.ndarray) -> jnp.ndarray:
+    """Same semantics as :func:`grid_sample_nhwc`, but each bilinear tap
+    is a one-hot matmul instead of a gather.
+
+    The gather's backward is a TPU scatter-add into the (B, H, W, C)
+    feature map; expressing the tap as ``one_hot(idx) @ features`` keeps
+    both directions on the MXU (exact — one-hot entries are 0/1). For a
+    few dozen points per image the extra FLOPs are negligible; use this
+    inside training graphs, the gather version elsewhere.
+    """
+    import jax
+
+    b, h, w, c = features.shape
+    x = (coords[..., 0] + 1.0) * w / 2.0 - 0.5
+    y = (coords[..., 1] + 1.0) * h / 2.0 - 0.5
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx1 = x - x0
+    wx0 = 1.0 - wx1
+    wy1 = y - y0
+    wy0 = 1.0 - wy1
+
+    flat = features.reshape(b, h * w, c)
+
+    def tap(xi, yi, wgt):
+        inside = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        sel = jax.nn.one_hot(yc * w + xc, h * w, dtype=features.dtype)
+        sel = sel * (wgt * inside.astype(features.dtype))[..., None]
+        return jnp.einsum("bnp,bpc->bnc", sel, flat)
+
+    return (tap(x0, y0, wx0 * wy0)
+            + tap(x0 + 1, y0, wx1 * wy0)
+            + tap(x0, y0 + 1, wx0 * wy1)
+            + tap(x0 + 1, y0 + 1, wx1 * wy1))

@@ -41,3 +41,13 @@ def test_grid_sample_rectangular_map(rng):
                          padding_mode="zeros", align_corners=False)
     want = want.squeeze(2).permute(0, 2, 1).numpy()
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_grid_sample_mm_matches_gather(rng):
+    from dir_tpu.ops.sampling import grid_sample_nhwc_mm
+    feats = rng.randn(2, 16, 16, 8).astype(np.float32)
+    coords = rng.uniform(-1.2, 1.2, size=(2, 21, 2)).astype(np.float32)
+    a = np.asarray(grid_sample_nhwc(jnp.asarray(feats), jnp.asarray(coords)))
+    b = np.asarray(grid_sample_nhwc_mm(jnp.asarray(feats),
+                                       jnp.asarray(coords)))
+    np.testing.assert_allclose(a, b, atol=1e-5)

@@ -57,6 +57,9 @@ class ModelConfig:
     # Use the fused Pallas bone-splat kernel (TPU only; the jnp path is
     # used on CPU and under interpret-mode tests).
     use_pallas_splat: bool = False
+    # MANO contraction precision: "highest" (bit-parity eval) or "high"
+    # (bf16x3, ~1e-6 rel err, ~2x fewer MXU passes — use for training).
+    mano_precision: str = "highest"
     # GCN adjacency built from the 21-joint hand skeleton.
     bone_num: int = 20
     # Loss weights (reference: models/dir.py:504-511,567-594).

@@ -32,9 +32,15 @@ from dir_tpu.ops.rotation import (batch_rodrigues, robust_rot6d_to_rotmat,
 
 _HI = lax.Precision.HIGHEST
 
+_PRECISIONS = {
+    "highest": lax.Precision.HIGHEST,  # bf16x6: bit-level parity work
+    "high": lax.Precision.HIGH,        # bf16x3: ~1e-6 rel err, 2x faster
+    "default": lax.Precision.DEFAULT,
+}
 
-def _einsum(expr, *args):
-    return jnp.einsum(expr, *args, precision=_HI)
+
+def _einsum(expr, *args, prec=_HI):
+    return jnp.einsum(expr, *args, precision=prec)
 
 
 def _rt_to_se3(rot: jnp.ndarray, trans: jnp.ndarray) -> jnp.ndarray:
@@ -66,7 +72,8 @@ def mano_skin(model: ManoModel,
               root_rot: jnp.ndarray,
               local_rots: jnp.ndarray,
               betas: jnp.ndarray,
-              center_idx: int | None = None):
+              center_idx: int | None = None,
+              precision: str = "highest"):
     """Core MANO skinning.
 
     Args:
@@ -77,20 +84,28 @@ def mano_skin(model: ManoModel,
         betas: (B, 10) shape coefficients.
         center_idx: if not None, subtract joint ``center_idx`` (21-joint
             order) from verts and joints.
+        precision: matmul precision for the blend/skinning contractions;
+            "highest" (bf16x6, bit-parity work) or "high" (bf16x3,
+            ~1e-6 relative error — far below the mm-level metrics, and
+            about half the MXU passes; use for training).
     Returns:
         verts (B, 778, 3), joints (B, 21, 3).
     """
+    prec = _PRECISIONS[precision]
     b = root_rot.shape[0]
     dtype = root_rot.dtype
 
     # Shape blend + rest joints (manopth/manolayer.py:170-183).
-    v_shaped = _einsum("vcs,bs->bvc", model.shapedirs, betas) + model.v_template
-    j_rest = _einsum("jv,bvc->bjc", model.j_regressor, v_shaped)  # (B, 16, 3)
+    v_shaped = _einsum("vcs,bs->bvc", model.shapedirs, betas,
+                       prec=prec) + model.v_template
+    j_rest = _einsum("jv,bvc->bjc", model.j_regressor, v_shaped,
+                     prec=prec)  # (B, 16, 3)
 
     # Pose blend: driver is flattened (R - I) (manopth/manolayer.py:186-187).
     eye = jnp.eye(3, dtype=dtype)
     pose_map = (local_rots - eye).reshape(b, 135)
-    v_posed = v_shaped + _einsum("vcp,bp->bvc", model.posedirs, pose_map)
+    v_posed = v_shaped + _einsum("vcp,bp->bvc", model.posedirs, pose_map,
+                                 prec=prec)
 
     # Level-batched kinematics (manopth/manolayer.py:192-228).
     lev1, lev2, lev3 = jnp.asarray(LEV1), jnp.asarray(LEV2), jnp.asarray(LEV3)
@@ -101,7 +116,7 @@ def mano_skin(model: ManoModel,
         rots = local_rots[:, idxs - 1]              # (B, 5, 3, 3)
         rel_t = j_rest[:, idxs] - parent_j          # (B, 5, 3)
         rel = _rt_to_se3(rots, rel_t)
-        return jnp.einsum("bfij,bfjk->bfik", prev, rel, precision=_HI)
+        return jnp.einsum("bfij,bfjk->bfik", prev, rel, precision=prec)
 
     t1 = level(jnp.broadcast_to(t_root[:, None], (b, 5, 4, 4)),
                lev1, root_j[:, None])
@@ -114,15 +129,17 @@ def mano_skin(model: ManoModel,
 
     # Inverse bind: A' = A - [0 | A @ (j, 0)] (manopth/manolayer.py:231-233).
     j_h = jnp.concatenate([j_rest, jnp.zeros((b, 16, 1), dtype)], axis=-1)
-    bind_t = jnp.einsum("bjik,bjk->bji", transforms, j_h, precision=_HI)
+    bind_t = jnp.einsum("bjik,bjk->bji", transforms, j_h, precision=prec)
     rel_transforms = transforms.at[:, :, :, 3].add(-bind_t)
     # (equivalent to subtracting only in the translation column since
     # bind_t's 4th component is 0 for rotation-free homogeneous points)
 
     # LBS (manopth/manolayer.py:235-245): per-vertex blended transforms.
-    m = _einsum("vj,bjik->bvik", model.weights, rel_transforms)  # (B,778,4,4)
+    m = _einsum("vj,bjik->bvik", model.weights, rel_transforms,
+                prec=prec)  # (B,778,4,4)
     verts = (
-        jnp.einsum("bvik,bvk->bvi", m[:, :, :3, :3], v_posed, precision=_HI)
+        jnp.einsum("bvik,bvk->bvi", m[:, :, :3, :3], v_posed,
+                   precision=prec)
         + m[:, :, :3, 3]
     )
 
@@ -142,7 +159,8 @@ def _pca6d_impl(model: ManoModel,
                 betas: jnp.ndarray,
                 center_idx: int | None = 0,
                 flat_hand_mean: bool = False,
-                robust_rot: bool = True):
+                robust_rot: bool = True,
+                precision: str = "highest"):
     ncomps = pose_coeffs.shape[1] - 6
     axis45 = pca_to_axis(model, pose_coeffs[:, 6:6 + ncomps],
                          add_mean=not flat_hand_mean)
@@ -153,7 +171,8 @@ def _pca6d_impl(model: ManoModel,
         root_rot = robust_rot6d_to_rotmat(pose_coeffs[:, :6])
     else:
         root_rot = rot6d_to_rotmat(pose_coeffs[:, :6])
-    return mano_skin(model, root_rot, local_rots, betas, center_idx)
+    return mano_skin(model, root_rot, local_rots, betas, center_idx,
+                     precision=precision)
 
 
 @partial(jax.jit, static_argnames=("center_idx", "flat_hand_mean",
@@ -184,11 +203,13 @@ def mano_forward_pca6d_pair(pair: ManoModel,
                             betas: jnp.ndarray,
                             center_idx: int | None = 0,
                             flat_hand_mean: bool = False,
-                            robust_rot: bool = True):
+                            robust_rot: bool = True,
+                            precision: str = "highest"):
     """Paired forward: pair from :func:`stack_mano_pair`; pose/betas have
     a leading hand axis (2, B, ...). Returns (verts, joints) (2, B, ...)."""
     fn = partial(_pca6d_impl, center_idx=center_idx,
-                 flat_hand_mean=flat_hand_mean, robust_rot=robust_rot)
+                 flat_hand_mean=flat_hand_mean, robust_rot=robust_rot,
+                 precision=precision)
     return jax.vmap(fn, in_axes=(0, 0, 0))(pair, pose_coeffs, betas)
 
 

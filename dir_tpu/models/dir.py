@@ -47,7 +47,7 @@ def _bn(train: bool, name: str, dtype=jnp.float32) -> nn.BatchNorm:
 
 def _mano_and_project(mano_left: ManoModel, mano_right: ManoModel,
                       para_left: jnp.ndarray, para_right: jnp.ndarray,
-                      root_joint: int) -> dict:
+                      root_joint: int, precision: str = "highest") -> dict:
     """Run both MANO hands + weak-perspective projection from a (B, 64)
     parameter vector each: [6D root + 45 PCA | 10 betas | scale, tx, ty]
     (reference: models/dir.py:272-280, 353-361).
@@ -60,7 +60,7 @@ def _mano_and_project(mano_left: ManoModel, mano_right: ManoModel,
     pair = stack_mano_pair(mano_left, mano_right)
     verts, joints = mano_forward_pca6d_pair(
         pair, jnp.stack([pose_l, pose_r]), jnp.stack([beta_l, beta_r]),
-        center_idx=root_joint)
+        center_idx=root_joint, precision=precision)
     mesh_l, mesh_r = verts[0], verts[1]
     joint_l, joint_r = joints[0], joints[1]
     out = {
@@ -138,7 +138,8 @@ class InitRegressor(nn.Module):
                               name="mano_right")(feat_right)
 
         out = _mano_and_project(mano_left, mano_right, para_left, para_right,
-                                self.cfg.root_joint)
+                                self.cfg.root_joint,
+                                self.cfg.mano_precision)
         out["pd_offset"] = pd_offset
         return out
 
@@ -174,7 +175,8 @@ class RegressorOffset(nn.Module):
                               name="mano_right")(glob_r)
 
         out = _mano_and_project(mano_left, mano_right, para_left, para_right,
-                                self.cfg.root_joint)
+                                self.cfg.root_joint,
+                                self.cfg.mano_precision)
         out["pd_offset"] = pd_offset
         return out
 

@@ -26,7 +26,9 @@ def main():
     from dir_tpu.train.state import create_train_state, make_optimizer
     from dir_tpu.train.steps import make_train_step
 
-    cfg = ModelConfig(dtype="bfloat16")
+    import os as _os
+    cfg = ModelConfig(dtype="bfloat16",
+                      mano_precision=_os.environ.get("MANO_PREC", "highest"))
     mano_r = synthetic_mano("right", seed=0)
     mano_l = fix_left_shapedirs(synthetic_mano("left", seed=0), mano_r)
     model = DIR(cfg)

@@ -213,6 +213,19 @@ def mano_forward_pca6d_pair(pair: ManoModel,
     return jax.vmap(fn, in_axes=(0, 0, 0))(pair, pose_coeffs, betas)
 
 
+@partial(jax.jit, static_argnames=("center_idx",))
+def mano_forward_rotmats_proj(model: ManoModel,
+                              pose_mats: jnp.ndarray,
+                              betas: jnp.ndarray,
+                              center_idx: int | None = 0):
+    """manopth joint_rot_mode='rotmat' API: (B, 16, 3, 3) approximate
+    rotations are SVD-projected to SO(3) before skinning
+    (manopth/manolayer.py:156-167)."""
+    from dir_tpu.ops.rotation import rotation_project
+    mats = rotation_project(pose_mats)
+    return mano_skin(model, mats[:, 0], mats[:, 1:], betas, center_idx)
+
+
 @partial(jax.jit, static_argnames=("center_idx", "use_pca"))
 def mano_forward_rotmat(model: ManoModel,
                         root_rot: jnp.ndarray,

@@ -144,6 +144,22 @@ def rotmat_to_axis_angle(rot: jnp.ndarray) -> jnp.ndarray:
     return theta[:, None] * axis
 
 
+def rotation_project(mats: jnp.ndarray) -> jnp.ndarray:
+    """Project arbitrary (..., 3, 3) matrices to the closest rotations
+    via SVD (manopth/manopth/rotproj.py:4-21, used for
+    joint_rot_mode='rotmat').
+
+    The reference loops a CPU SVD per matrix; this is a batched
+    jnp.linalg.svd with the determinant sign fix applied to the last
+    column of U.
+    """
+    u, _, vt = jnp.linalg.svd(mats)
+    rot = u @ vt
+    det = jnp.linalg.det(rot)
+    u_fix = u.at[..., :, 2].multiply(jnp.sign(det)[..., None])
+    return u_fix @ vt
+
+
 def subtract_flat_id(rot_mats: jnp.ndarray) -> jnp.ndarray:
     """(B, K*9) flattened rotmats minus flattened identities
     (manopth/manopth/tensutils.py:36-44)."""

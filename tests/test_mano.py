@@ -189,3 +189,24 @@ def test_local_frames_orthonormal(rng):
     for f in frames.reshape(-1, 3, 3):
         np.testing.assert_allclose(f @ f.T, eye, atol=1e-4)
         assert np.linalg.det(f) > 0.9
+
+
+def test_mano_rotmats_proj_api(rng):
+    from dir_tpu.mano.layer import mano_forward_rotmats_proj
+    model = synthetic_mano("right", seed=13)
+    b = 2
+    mats = R.random(b * 16, random_state=9).as_matrix().reshape(
+        b, 16, 3, 3).astype(np.float32)
+    noisy = mats + rng.randn(b, 16, 3, 3).astype(np.float32) * 0.02
+    verts, joints = mano_forward_rotmats_proj(
+        model, jnp.asarray(noisy), jnp.zeros((b, 10), jnp.float32),
+        center_idx=0)
+    assert verts.shape == (b, 778, 3)
+    # projecting exact rotations == skinning them directly
+    v2, j2 = mano_forward_rotmats_proj(
+        model, jnp.asarray(mats), jnp.zeros((b, 10), jnp.float32),
+        center_idx=0)
+    v3, j3 = mano_skin(model, jnp.asarray(mats[:, 0]),
+                       jnp.asarray(mats[:, 1:]),
+                       jnp.zeros((b, 10), jnp.float32), center_idx=0)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v3), atol=1e-4)

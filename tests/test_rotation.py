@@ -82,3 +82,20 @@ def test_quat_to_rotmat_matches_scipy(rng):
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
     want = R.from_quat(np.concatenate([qn[:, 1:], qn[:, :1]], 1)).as_matrix()
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_rotation_project(rng):
+    from dir_tpu.ops.rotation import rotation_project
+    # noisy rotations project back to valid rotations
+    base = R.random(8, random_state=3).as_matrix().astype(np.float32)
+    noisy = base + rng.randn(8, 3, 3).astype(np.float32) * 0.05
+    proj = np.asarray(rotation_project(jnp.asarray(noisy)))
+    _assert_rotation(proj, atol=1e-4)
+    # an exact rotation is a fixed point
+    np.testing.assert_allclose(
+        np.asarray(rotation_project(jnp.asarray(base))), base, atol=1e-5)
+    # a reflection-ish matrix still maps to det +1
+    refl = base.copy()
+    refl[:, :, 2] *= -1
+    proj2 = np.asarray(rotation_project(jnp.asarray(refl)))
+    _assert_rotation(proj2, atol=1e-4)

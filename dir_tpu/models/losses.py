@@ -137,9 +137,17 @@ def lovasz_softmax(probas: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
 
 
 def dir_losses(outputs: dict, targets: dict, cfg: ModelConfig,
-               faces_left: jnp.ndarray, faces_right: jnp.ndarray) -> dict:
+               faces_left: jnp.ndarray, faces_right: jnp.ndarray,
+               fused_stages: bool = False) -> dict:
     """Full DIR loss dict (models/dir.py:541-594). Sum the values for the
     total training loss (train.py:69).
+
+    fused_stages: compute each per-stage term ONCE over the three stages
+    stacked along the batch axis (sum over stages == 3 x the stacked
+    mean since all stages have identical element counts — exact). Cuts
+    the loss-op count ~3x; the dict then carries aggregated ``*_all``
+    keys instead of per-stage entries. Used inside the train step where
+    only the total matters.
 
     targets (all NHWC / batch-first, fp32 unless noted):
         joint_2d_{left,right}: (B, 21, 3) [-1,1] uv + depth
@@ -179,6 +187,48 @@ def dir_losses(outputs: dict, targets: dict, cfg: ModelConfig,
     gt_offset = ((cr - cl) / s)[:, 0]
 
     cw = cfg.coord_weight
+    if fused_stages:
+        n = len(outputs["stages"])
+        stacked = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0),
+                               *outputs["stages"])
+
+        def tile(x):
+            return jnp.concatenate([x] * n, 0)
+
+        loss["joint_left_uv_all"] = smooth_l1(
+            stacked["pd_joint_uv_left"],
+            tile(targets["joint_2d_left"][:, :, :2])) * cw * n
+        loss["joint_right_uv_all"] = smooth_l1(
+            stacked["pd_joint_uv_right"],
+            tile(targets["joint_2d_right"][:, :, :2])) * cw * n
+        loss["mesh_left_uv_all"] = smooth_l1(
+            stacked["pd_mesh_uv_left"],
+            tile(targets["mesh_2d_left"][:, :, :2])) * cw * n
+        loss["mesh_right_uv_all"] = smooth_l1(
+            stacked["pd_mesh_uv_right"],
+            tile(targets["mesh_2d_right"][:, :, :2])) * cw * n
+
+        j_l = stacked["pd_joint_xyz_left"] / s
+        j_r = stacked["pd_joint_xyz_right"] / s
+        m_l = stacked["pd_mesh_xyz_left"] / s
+        m_r = stacked["pd_mesh_xyz_right"] / s
+        loss["joint_left_xyz_all"] = smooth_l1(j_l, tile(gt_j_l)) * cw * n
+        loss["joint_right_xyz_all"] = smooth_l1(j_r, tile(gt_j_r)) * cw * n
+        loss["mesh_left_xyz_all"] = smooth_l1(m_l, tile(gt_m_l)) * cw * n
+        loss["mesh_right_xyz_all"] = smooth_l1(m_r, tile(gt_m_r)) * cw * n
+
+        loss["edge_left_all"] = edge_length_loss(
+            m_l, tile(gt_m_l), faces_left) * cfg.edge_weight * n
+        loss["edge_right_all"] = edge_length_loss(
+            m_r, tile(gt_m_r), faces_right) * cfg.edge_weight * n
+        loss["normal_left_all"] = normal_vector_loss(
+            m_l, tile(gt_m_l), faces_left) * cfg.normal_weight * n
+        loss["normal_right_all"] = normal_vector_loss(
+            m_r, tile(gt_m_r), faces_right) * cfg.normal_weight * n
+        loss["offset_all"] = smooth_l1(stacked["pd_offset"],
+                                       tile(gt_offset)) * cw * n
+        return loss
+
     for i, out in enumerate(outputs["stages"]):
         loss[f"joint_left_uv_{i}"] = smooth_l1(
             out["pd_joint_uv_left"], targets["joint_2d_left"][:, :, :2]) * cw

@@ -41,7 +41,7 @@ def make_train_step(model, tx, cfg: ModelConfig, mano_left: ManoModel,
                 batch["img"], mano_left, mano_right, train=True,
                 mutable=["batch_stats"])
             loss_dict = dir_losses(out, batch, cfg, mano_left.faces,
-                                   mano_right.faces)
+                                   mano_right.faces, fused_stages=True)
             return total_loss(loss_dict), (updates["batch_stats"], loss_dict)
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

@@ -92,3 +92,61 @@ def test_normal_loss_zero_for_gt_plane():
     faces = jnp.asarray([[0, 1, 2], [1, 3, 2]], jnp.int32)
     got = float(losses.normal_vector_loss(verts, verts, faces))
     assert got < 1e-6
+
+
+def test_fused_stage_losses_match_sum(rng):
+    """fused_stages=True totals == per-stage totals (exact stacking)."""
+    import jax.numpy as jnp
+    from dir_tpu.config import ModelConfig
+    from dir_tpu.models.losses import dir_losses, total_loss
+
+    cfg = ModelConfig()
+    b, n_stages = 2, 3
+    faces = jnp.asarray(
+        np.stack([rng.choice(778, 3, replace=False) for _ in range(40)]),
+        jnp.int32)
+
+    def stage():
+        return {
+            "pd_joint_uv_left": jnp.asarray(rng.randn(b, 21, 2), jnp.float32),
+            "pd_joint_uv_right": jnp.asarray(rng.randn(b, 21, 2), jnp.float32),
+            "pd_mesh_uv_left": jnp.asarray(rng.randn(b, 778, 2), jnp.float32),
+            "pd_mesh_uv_right": jnp.asarray(rng.randn(b, 778, 2), jnp.float32),
+            "pd_joint_xyz_left": jnp.asarray(rng.randn(b, 21, 3) * 0.1,
+                                             jnp.float32),
+            "pd_joint_xyz_right": jnp.asarray(rng.randn(b, 21, 3) * 0.1,
+                                              jnp.float32),
+            "pd_mesh_xyz_left": jnp.asarray(rng.randn(b, 778, 3) * 0.1,
+                                            jnp.float32),
+            "pd_mesh_xyz_right": jnp.asarray(rng.randn(b, 778, 3) * 0.1,
+                                             jnp.float32),
+            "pd_offset": jnp.asarray(rng.randn(b, 3), jnp.float32),
+            "pd_mano_para_left": jnp.zeros((b, 64), jnp.float32),
+            "pd_mano_para_right": jnp.zeros((b, 64), jnp.float32),
+            "pd_proj_left": jnp.zeros((b, 3), jnp.float32),
+            "pd_proj_right": jnp.zeros((b, 3), jnp.float32),
+        }
+
+    outputs = {"stages": [stage() for _ in range(n_stages)],
+               "seg": jnp.asarray(rng.randn(b, 32, 32, 3), jnp.float32),
+               "dense": jnp.asarray(rng.rand(b, 32, 32, 3), jnp.float32)}
+    targets = {
+        "joint_2d_left": jnp.asarray(rng.randn(b, 21, 3), jnp.float32),
+        "joint_2d_right": jnp.asarray(rng.randn(b, 21, 3), jnp.float32),
+        "mesh_2d_left": jnp.asarray(rng.randn(b, 778, 3), jnp.float32),
+        "mesh_2d_right": jnp.asarray(rng.randn(b, 778, 3), jnp.float32),
+        "joint_3d_left": jnp.asarray(rng.randn(b, 21, 3) * 0.1, jnp.float32),
+        "joint_3d_right": jnp.asarray(rng.randn(b, 21, 3) * 0.1, jnp.float32),
+        "mesh_3d_left": jnp.asarray(rng.randn(b, 778, 3) * 0.1, jnp.float32),
+        "mesh_3d_right": jnp.asarray(rng.randn(b, 778, 3) * 0.1, jnp.float32),
+        "center_left": jnp.asarray(rng.randn(b, 1, 3) * 0.1, jnp.float32),
+        "center_right": jnp.asarray(rng.randn(b, 1, 3) * 0.1, jnp.float32),
+        "seg": jnp.asarray(rng.randint(0, 3, (b, 256, 256))),
+        "dense": jnp.asarray(rng.rand(b, 256, 256, 3), jnp.float32),
+    }
+
+    per_stage = dir_losses(outputs, targets, cfg, faces, faces)
+    fused = dir_losses(outputs, targets, cfg, faces, faces,
+                       fused_stages=True)
+    np.testing.assert_allclose(float(total_loss(fused)),
+                               float(total_loss(per_stage)), rtol=1e-5)

@@ -6,6 +6,7 @@ AdamW + BN stats) on synthetic data at batch 64, bf16 trunk.
 
 import os
 import sys
+import os
 import time
 
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
@@ -15,7 +16,7 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-BATCH = 64
+BATCH = int(os.environ.get("BENCH_BATCH", "64"))
 ITERS = 10
 
 

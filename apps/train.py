@@ -41,6 +41,10 @@ def main():
                     help="data-parallel devices (0 = all)")
     ap.add_argument("--config", type=str, default="",
                     help="YAML config; CLI flags override nothing when set")
+    ap.add_argument("--phase", type=str, default="train",
+                    choices=["train", "test"],
+                    help="'test' runs the metric eval only (reference "
+                         "Tester, train.py:246-336)")
     ap.add_argument("--device_pipeline", action="store_true",
                     help="fused on-device preprocessing (host decodes only)")
     opt = ap.parse_args()
@@ -96,6 +100,12 @@ def main():
             init_stats["backbone"], trainer.state.batch_stats["backbone"])
         trainer.state = trainer.state.replace(params=params,
                                               batch_stats=stats)
+
+    if opt.phase == "test":
+        summary = trainer.evaluate(all_stages=True)
+        trainer.logger.info("eval done; final MPJPE %.4f mm",
+                            summary["joint_mean_all_mm"])
+        return
 
     best = trainer.train()
     trainer.logger.info("training done; best MPJPE %.4f mm", best)

@@ -36,6 +36,9 @@ def main():
                     help="comma-separated resnet stage depths")
     ap.add_argument("--synthetic_mano", action="store_true",
                     help="use the synthetic test MANO (smoke runs)")
+    ap.add_argument("--stage", type=int, default=-1,
+                    help="stage to evaluate (-1 = final refinement, the "
+                         "reference's stage_num-1; apps/eval.py:170)")
     opt = ap.parse_args()
 
     import jax
@@ -102,7 +105,7 @@ def main():
     @jax.jit
     def forward(img):
         out = model.apply(variables, img, mano_l, mano_r, train=False)
-        f = out["stages"][-1]
+        f = out["stages"][opt.stage]
         return (f["pd_mesh_xyz_left"], f["pd_mesh_xyz_right"],
                 f["pd_offset"])
 

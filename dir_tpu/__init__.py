@@ -20,3 +20,9 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+from dir_tpu.config import (Config, DataConfig, ModelConfig,  # noqa: E402
+                            TrainConfig, load_yaml, save_yaml)
+
+__all__ = ["Config", "DataConfig", "ModelConfig", "TrainConfig",
+           "load_yaml", "save_yaml", "__version__"]

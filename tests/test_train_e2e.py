@@ -124,3 +124,33 @@ def test_loss_decreases_overfitting_one_batch(env):
     last_total = float(sum(jax.tree.map(float, loss).values()))
     assert np.isfinite(last_total)
     assert last_total < 0.8 * first_total, (first_total, last_total)
+
+
+@pytest.mark.slow
+def test_trainer_resume(env):
+    """continue_train restores step count and parameters."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    cfg, left, right = env
+    out1 = cfg.train.output_dir + "_resume"
+    cfg1 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, output_dir=out1,
+                                       draw_every=0))
+    t1 = Trainer(cfg1, left, right, mesh=make_mesh(2))
+    t1.make_data()
+    t1.make_model()
+    t1.train()
+    step1 = int(t1.state.step)
+    kernel1 = np.asarray(t1.state.params["backbone"]["conv1"]["kernel"])
+
+    ckpt_dir = os.path.join(out1, "checkpoint")
+    cfg2 = dataclasses.replace(
+        cfg1, train=dataclasses.replace(cfg1.train, checkpoint=ckpt_dir,
+                                        continue_train=True, draw_every=0))
+    t2 = Trainer(cfg2, left, right, mesh=make_mesh(2))
+    t2.make_data()
+    t2.make_model()
+    assert int(t2.state.step) == step1
+    np.testing.assert_allclose(
+        np.asarray(t2.state.params["backbone"]["conv1"]["kernel"]), kernel1)

@@ -33,9 +33,9 @@ class ModelConfig:
     embed_dim: int = 128
     # Per-joint output feature dim from the interaction transformer (joint_dim).
     joint_dim: int = 64
-    # Refinement stage feature map sizes and bone-splat distance thresholds
-    # (reference: models/dir.py:395,401).
-    stage_sizes: Tuple[int, ...] = (16, 32)
+    # Bone-splat distance thresholds per refinement stage (reference:
+    # models/dir.py:395,401); the stage feature-map sizes derive from
+    # the actual pyramid shapes (16/32 at 256^2 input).
     stage_distances: Tuple[float, ...] = (1.0, 2.0)
     # MANO parameter vector: 6 (root 6D) + 45 (PCA pose) + 10 (shape) + 3 (cam).
     mano_ncomps: int = 45

@@ -17,15 +17,13 @@ regressed 2D joints (dir.py:120-121) — preserved.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from dir_tpu.config import ModelConfig
 from dir_tpu.mano.assets import ManoModel
-from dir_tpu.mano.layer import (mano_forward_pca6d, mano_forward_pca6d_pair,
+from dir_tpu.mano.layer import (mano_forward_pca6d_pair,
                                 stack_mano_pair)
 from dir_tpu.models.layers import (MLP1d, Residual, conv_init_normal,
                                    conv_kernel_init, upsample2x, BN_EPS,

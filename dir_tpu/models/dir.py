@@ -33,7 +33,7 @@ from dir_tpu.models.gcn import ResSimplePGCN, hand_adjacency
 from dir_tpu.models.transformer import STE
 from dir_tpu.ops.bone_splat import bone_splat
 from dir_tpu.ops.projection import ortho_project
-from dir_tpu.ops.sampling import grid_sample_nhwc_mm
+from dir_tpu.ops.sampling import grid_sample_nhwc, grid_sample_nhwc_mm
 
 sg = jax.lax.stop_gradient
 
@@ -88,7 +88,10 @@ class ImgToJointFeature(nn.Module):
     @nn.compact
     def __call__(self, img_feat: jnp.ndarray, joint_uv: jnp.ndarray,
                  train: bool = False) -> jnp.ndarray:
-        sampled = grid_sample_nhwc_mm(img_feat, sg(joint_uv))  # (B, 21, C)
+        # training uses the one-hot matmul taps (scatter-free backward);
+        # inference keeps the cheaper gather
+        sample = grid_sample_nhwc_mm if train else grid_sample_nhwc
+        sampled = sample(img_feat, sg(joint_uv))  # (B, 21, C)
         return MLP1d(self.out_dim, self.out_dim, dtype=self.dtype,
                      name="filters")(sampled, train)
 

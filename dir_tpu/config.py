@@ -60,6 +60,10 @@ class ModelConfig:
     # MANO contraction precision: "highest" (bit-parity eval) or "high"
     # (bf16x3, ~1e-6 rel err, ~2x fewer MXU passes — use for training).
     mano_precision: str = "highest"
+    # Factor the 3x3 fusion conv through the rank-1 splat structure
+    # (ops/splat_conv.py): exact, ~13x fewer FLOPs, never materializes
+    # the (B, S, S, 2560) splat map. Same parameters either way.
+    fused_splat_conv: bool = True
     # GCN adjacency built from the 21-joint hand skeleton.
     bone_num: int = 20
     # Loss weights (reference: models/dir.py:504-511,567-594).

@@ -32,10 +32,27 @@ from dir_tpu.models.resnet import ResNetPyramid
 from dir_tpu.models.gcn import ResSimplePGCN, hand_adjacency
 from dir_tpu.models.transformer import STE
 from dir_tpu.ops.bone_splat import bone_splat
+from dir_tpu.ops.splat_conv import fused_splat_conv
 from dir_tpu.ops.projection import ortho_project
 from dir_tpu.ops.sampling import grid_sample_nhwc, grid_sample_nhwc_mm
 
 sg = jax.lax.stop_gradient
+
+
+class _SplatConvParams(nn.Module):
+    """Parameter container matching nn.Conv's tree layout
+    (fusion_conv1/{kernel, bias}) for the factored splat-conv path —
+    checkpoints are interchangeable between the two implementations."""
+
+    features: int
+    in_ch: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", conv_kernel_init,
+                            (3, 3, self.in_ch, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
 
 
 def _bn(train: bool, name: str, dtype=jnp.float32) -> nn.BatchNorm:
@@ -247,19 +264,31 @@ class RefineStage(nn.Module):
         proj_emb = MLP1d(jdim, jdim, dtype=dt, name="proj_feat_emb")
         pf_l = proj_emb(feat_l, train)
         pf_r = proj_emb(feat_r, train)
-        if cfg.use_pallas_splat:
-            from dir_tpu.ops.pallas_bone_splat import bone_splat_pallas
-            splat = lambda uv, f: bone_splat_pallas(  # noqa: E731
-                uv, f, self.feature_size, float(self.distance))
+        out_ch = img_feat.shape[-1]
+        if cfg.fused_splat_conv:
+            # exact factorization of conv3x3(concat(splats)) through the
+            # rank-1 splat structure; identical parameters
+            kernel, kbias = _SplatConvParams(
+                out_ch, 2 * 20 * jdim, name="fusion_conv1")()
+            fused = fused_splat_conv(
+                result["pd_joint_uv_left"], result["pd_joint_uv_right"],
+                pf_l, pf_r, kernel.astype(dt), kbias,
+                self.feature_size, float(self.distance))
+            fused = fused.astype(dt)
         else:
-            splat = lambda uv, f: bone_splat(  # noqa: E731
-                uv, f, self.feature_size, self.distance)
-        splat_l = splat(result["pd_joint_uv_left"], pf_l)
-        splat_r = splat(result["pd_joint_uv_right"], pf_r)
-        fused = jnp.concatenate([splat_l, splat_r], axis=-1)
-        fused = nn.Conv(img_feat.shape[-1], (3, 3), padding="SAME", dtype=dt,
-                        kernel_init=conv_kernel_init, name="fusion_conv1")(
-            fused)
+            if cfg.use_pallas_splat:
+                from dir_tpu.ops.pallas_bone_splat import bone_splat_pallas
+                splat = lambda uv, f: bone_splat_pallas(  # noqa: E731
+                    uv, f, self.feature_size, float(self.distance))
+            else:
+                splat = lambda uv, f: bone_splat(  # noqa: E731
+                    uv, f, self.feature_size, self.distance)
+            splat_l = splat(result["pd_joint_uv_left"], pf_l)
+            splat_r = splat(result["pd_joint_uv_right"], pf_r)
+            fused = jnp.concatenate([splat_l, splat_r], axis=-1)
+            fused = nn.Conv(out_ch, (3, 3), padding="SAME", dtype=dt,
+                            kernel_init=conv_kernel_init,
+                            name="fusion_conv1")(fused)
         fused = nn.relu(_bn(train, "fusion_bn", dt)(fused))
         fused = nn.Conv(img_feat.shape[-1], (1, 1), dtype=dt,
                         kernel_init=conv_kernel_init, name="fusion_conv2")(
@@ -269,8 +298,11 @@ class RefineStage(nn.Module):
             "img_feat": fused,
             "joint_feat_left": feat_l,
             "joint_feat_right": feat_r,
-            "vis_img_feat": splat_l + splat_r,
         }
+        if not cfg.fused_splat_conv:
+            # visualization-only splat sum (reference: dir.py:128); the
+            # factored path never materializes the splat maps
+            feats["vis_img_feat"] = splat_l + splat_r
         return result, feats
 
 
@@ -349,7 +381,7 @@ class Decoder(nn.Module):
             "result_list": outputs,
             "seg": seg,
             "dense": dense,
-            "proj_feat": stage_feats["vis_img_feat"],
+            "proj_feat": stage_feats.get("vis_img_feat"),
         }
 
 

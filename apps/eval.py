@@ -68,7 +68,9 @@ def main():
     model = DIR(cfg)
 
     img0 = jnp.zeros((1, 256, 256, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), img0, mano_l, mano_r)
+    # jitted init: eager init round-trips the device tunnel per op.
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img0,
+                                    mano_l, mano_r)
 
     if opt.model == "random":
         logger.info("random-init smoke evaluation")
@@ -102,12 +104,18 @@ def main():
     jreg_l = evaluate.extended_j_regressor(mano_l)
     jreg_r = evaluate.extended_j_regressor(mano_r)
 
+    # Variables as an explicit jit argument — closure capture inlines the
+    # weights into the serialized program (tunnel remote-compile rejects
+    # large bodies with HTTP 413, and constants bloat every recompile).
     @jax.jit
-    def forward(img):
-        out = model.apply(variables, img, mano_l, mano_r, train=False)
+    def _forward(v, img):
+        out = model.apply(v, img, mano_l, mano_r, train=False)
         f = out["stages"][opt.stage]
         return (f["pd_mesh_xyz_left"], f["pd_mesh_xyz_right"],
                 f["pd_offset"])
+
+    def forward(img):
+        return _forward(variables, img)
 
     dump = {k: [] for k in ("joint_left", "joint_right", "vert_left",
                             "vert_right", "joint2d_left", "joint2d_right",
@@ -170,6 +178,16 @@ def main():
     print(f"    left: {v2l} px, right: {v2r} px")
     print(f"    all: {(v2l + v2r) / 2} px")
     print(f"root error: {d['root'].mean() * 1000} mm")
+
+    # Machine-readable summary (consumed by tools/run_reference_parity.sh).
+    import json
+    print("SUMMARY " + json.dumps({
+        "joint_mean_all_mm": float((jl + jr) / 2),
+        "vert_mean_all_mm": float((vl_ + vr_) / 2),
+        "joint2d_mean_all_px": float((j2l + j2r) / 2),
+        "vert2d_mean_all_px": float((v2l + v2r) / 2),
+        "root_mean_mm": float(d["root"].mean() * 1000),
+    }))
 
 
 if __name__ == "__main__":

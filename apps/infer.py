@@ -64,7 +64,9 @@ def main():
     img_bgr = cv.resize(img_bgr, (256, 256))
     img = jnp.asarray(normalize_image(img_bgr))[None]
 
-    variables = model.init(jax.random.PRNGKey(0), img, mano_l, mano_r)
+    # jitted init: eager init round-trips the device tunnel per op.
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img,
+                                    mano_l, mano_r)
     if opt.model.endswith(".pth"):
         params, stats = ckpt.load_torch_dir_checkpoint(
             opt.model, backbone_layers=layers)
@@ -84,8 +86,11 @@ def main():
         variables = {"params": restored.params,
                      "batch_stats": restored.batch_stats}
 
-    out = jax.jit(lambda im: model.apply(variables, im, mano_l, mano_r,
-                                         train=False))(img)
+    # Variables passed as an argument (not a closure constant): closure
+    # capture inlines every weight into the serialized program, which
+    # the remote-compile tunnel rejects for full-size models (HTTP 413).
+    out = jax.jit(lambda v, im: model.apply(v, im, mano_l, mano_r,
+                                            train=False))(variables, img)
     final = out["stages"][-1]
 
     faces = np.asarray(mano_r.faces)
@@ -105,7 +110,22 @@ def main():
         uv = (np.asarray(final[f"pd_joint_uv_{side}"][0]) + 1) / 2 * 256
         overlay = draw_2d_skeleton(overlay, uv)
     cv.imwrite(os.path.join(opt.out, "overlay.png"), overlay)
-    print(f"wrote meshes, parameters, and overlay to {opt.out}")
+
+    # 3D mesh overlay (reference: pyrender offscreen render,
+    # utils/visualize.py:75-105). Predictions are root-relative; place
+    # them at a nominal camera depth with a unit-focal intrinsics so the
+    # ortho-style crop framing is preserved.
+    from dir_tpu.utils.visualize import render_mesh_overlay
+    depth = 0.5
+    cam = np.array([[512.0, 0, 128.0], [0, 512.0, 128.0], [0, 0, 1.0]],
+                   np.float32)
+    off = np.asarray(final["pd_offset"][0]) * 0.15
+    vl = np.asarray(final["pd_mesh_xyz_left"][0]) - off / 2 + [0, 0, depth]
+    vr = np.asarray(final["pd_mesh_xyz_right"][0]) + off / 2 + [0, 0, depth]
+    mesh_overlay = render_mesh_overlay(img_bgr, vl, vr, faces, cam,
+                                       alpha=0.85)
+    cv.imwrite(os.path.join(opt.out, "mesh_overlay.png"), mesh_overlay)
+    print(f"wrote meshes, parameters, and overlays to {opt.out}")
 
 
 if __name__ == "__main__":

@@ -273,7 +273,9 @@ def make_preprocess_fn(mano_left: ManoModel, mano_right: ManoModel,
         rgb = img[..., ::-1] / 255.0
         img_norm = (rgb - jnp.asarray(IMAGENET_MEAN)) / \
             jnp.asarray(IMAGENET_STD)
-        dense_norm = dense[..., ::-1] / 255.0
+        # Dense GT stays BGR — the reference feeds cv.imread order
+        # straight to the dense head (dataset/interhand.py:226).
+        dense_norm = dense / 255.0
 
         def nuv(u, x3):
             return jnp.concatenate(

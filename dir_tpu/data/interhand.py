@@ -125,12 +125,22 @@ class InterHandDataset:
         center_right = jr[9:10].copy()
         seg = native.seg_from_mask(mask, do_flip)
 
+        # DELIBERATE DEVIATION: the reference adds photometric noise
+        # unconditionally — including the test split
+        # (dataset/interhand.py:218) — which perturbs its in-training
+        # test_model() metrics. We treat that as a reference bug and add
+        # noise on the train split only; offline eval (apps/eval.py) is
+        # unaffected either way (it reads raw images).
         if self.augment_train:
             img = augment.add_noise(img, rng, noise=0.01)
 
         img_norm = native.normalize_bgr(img, augment.IMAGENET_MEAN,
                                         augment.IMAGENET_STD)
-        dense_norm = dense[:, :, ::-1].astype(np.float32) / 255.0
+        # Dense-correspondence GT stays in the on-disk BGR channel order:
+        # the reference trains the dense head directly on the cv.imread
+        # array (dataset/interhand.py:226), so reference-trained
+        # checkpoints expect BGR-ordered dense targets.
+        dense_norm = dense.astype(np.float32) / 255.0
 
         def nuv(l2d, l3d):
             return np.concatenate(
@@ -162,16 +172,35 @@ class InterHandRawEval:
 
     def __init__(self, data_path: str, mano_left: ManoModel,
                  mano_right: ManoModel, split: str = "test",
-                 img_size: int = 256):
+                 img_size: int = 256, load_hms: bool = False):
         self.inner = InterHandDataset(data_path, split, mano_left, mano_right,
                                       img_size=img_size, augment_train=False)
+        self.load_hms = load_hms
+        self.img_size = img_size
 
     def __len__(self):
         return len(self.inner)
 
+    def _read_hms(self, idx: int) -> Dict[str, np.ndarray]:
+        """The 7 per-hand heatmap jpgs the reference loads and resizes to
+        the image size (dataset/interhand.py:62-66); written by the
+        prepare step (dir_tpu/data/prepare.py). Shape (7, S, S, 3)."""
+        out = {}
+        root = os.path.join(self.inner.data_path, self.inner.split, "hms")
+        for hand in ("left", "right"):
+            hms = []
+            for h in range(7):
+                p = os.path.join(root, f"{idx}_{h}_{hand}.jpg")
+                hm = cv.imread(p)
+                if hm.shape[0] != self.img_size:
+                    hm = cv.resize(hm, (self.img_size, self.img_size))
+                hms.append(hm)
+            out[f"hms_{hand}"] = np.stack(hms).astype(np.float32)
+        return out
+
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         s = self.inner[idx]
-        return {
+        out = {
             "img": s["img"],
             "joints_left_gt": s["joint_3d_left"],
             "joints_right_gt": s["joint_3d_right"],
@@ -179,3 +208,6 @@ class InterHandRawEval:
             "verts_right_gt": s["mesh_3d_right"],
             "camera": s["camera"],
         }
+        if self.load_hms:
+            out.update(self._read_hms(idx))
+        return out

@@ -363,7 +363,7 @@ class Decoder(nn.Module):
         result, stage_feats = RefineStage(
             cfg, fusion.shape[1], cfg.stage_distances[1],
             name="projecter_3")(fusion, result, mano_left, mano_right, train)
-        enhance = Residual(d, name="enhance_layer3")(
+        enhance = Residual(d, dtype=dt, name="enhance_layer3")(
             jnp.concatenate([fusion, stage_feats["img_feat"]], axis=-1),
             train)
         outputs.append(result)

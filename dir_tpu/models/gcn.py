@@ -58,7 +58,7 @@ class PGraphConv(nn.Module):
         mask1 = adj > 0
         mask0 = jnp.eye(j, dtype=bool)
 
-        w = self.param("w", nn.initializers.xavier_uniform(),
+        w = self.param("w", _torch_xavier_uniform(gain=1.414),
                        (2, j, cin, self.out_features))
         # Learned edge scores, one per nonzero entry, init 1
         # (p_graph_conv.py:24-30).
@@ -88,6 +88,23 @@ class PGraphConv(nn.Module):
 
         bias = self.param("bias", _pgc_bias_init(j), (self.out_features,))
         return out + bias
+
+
+def _torch_xavier_uniform(gain: float):
+    """torch nn.init.xavier_uniform_(gain) on an N-D tensor
+    (p_graph_conv.py:20): torch computes fan_out from dim 0, fan_in from
+    dim 1, and folds ALL trailing dims into the receptive field — so on
+    the (2, J, Cin, Cout) weight fan_in = J*Cin*Cout, fan_out = 2*Cin*Cout.
+    A generic per-matrix xavier does not reproduce this variance."""
+
+    def init(key, shape, dtype=jnp.float32):
+        import jax
+        rf = int(np.prod(shape[2:])) if len(shape) > 2 else 1
+        fan_in, fan_out = shape[1] * rf, shape[0] * rf
+        bound = gain * np.sqrt(6.0 / (fan_in + fan_out))
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
 
 
 def _pgc_bias_init(j: int):

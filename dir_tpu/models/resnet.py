@@ -42,8 +42,12 @@ class Bottleneck(nn.Module):
                       kernel_init=conv_kernel_init, dtype=self.dtype,
                       name="conv1")(x)
         out = nn.relu(bn("bn1")(out))
+        # Explicit symmetric padding=1, matching torch Conv2d(padding=1)
+        # (reference models/backbone/resnet.py:35-37). "SAME" is NOT
+        # equivalent under stride 2: XLA resolves it to asymmetric (0, 1)
+        # padding on even inputs, shifting every tap by one pixel.
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                      padding="SAME", use_bias=False,
+                      padding=((1, 1), (1, 1)), use_bias=False,
                       kernel_init=conv_kernel_init, dtype=self.dtype,
                       name="conv2")(out)
         out = nn.relu(bn("bn2")(out))

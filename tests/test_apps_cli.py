@@ -17,6 +17,72 @@ def _load_app(name):
     return mod
 
 
+@pytest.mark.slow
+def test_run_reference_parity_script(tmp_path):
+    """tools/run_reference_parity.sh end-to-end on synthetic stand-ins:
+    plain-numpy MANO pkls, an exported tiny-backbone torch .pth, and the
+    synthetic test split."""
+    import pickle
+    import subprocess
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from dir_tpu.config import ModelConfig
+    from dir_tpu.data import synthetic
+    from dir_tpu.mano import synthetic_mano, fix_left_shapedirs
+    from dir_tpu.models.dir import DIR
+    from dir_tpu.train import checkpoint as ck
+
+    right = synthetic_mano("right", seed=0)
+    left = fix_left_shapedirs(synthetic_mano("left", seed=0), right)
+
+    # Stand-in licensed MANO pkls (plain numpy dicts).
+    pkl_dir = tmp_path / "mano_pkls"
+    pkl_dir.mkdir()
+    for side, m in (("LEFT", left), ("RIGHT", right)):
+        d = {k: np.asarray(getattr(m, a)) for k, a in (
+            ("v_template", "v_template"), ("shapedirs", "shapedirs"),
+            ("posedirs", "posedirs"), ("J_regressor", "j_regressor"),
+            ("weights", "weights"),
+            ("hands_components", "hands_components"),
+            ("hands_mean", "hands_mean"))}
+        d["f"] = np.asarray(m.faces, np.uint32)
+        with open(pkl_dir / f"MANO_{side}.pkl", "wb") as f:
+            pickle.dump(d, f)
+
+    # Stand-in released checkpoint: random tiny DIR exported to the
+    # reference torch layout.
+    cfg = ModelConfig(backbone_layers=(1, 1, 1, 1))
+    model = DIR(cfg)
+    img = jnp.zeros((1, 256, 256, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img, left, right)
+    sd = ck.export_torch_dir_state(variables["params"],
+                                   variables["batch_stats"],
+                                   backbone_layers=(1, 1, 1, 1))
+    pth = tmp_path / "DIR.pth"
+    torch.save({"net": {k: torch.from_numpy(np.asarray(v))
+                        for k, v in sd.items()}}, pth)
+
+    data_dir = tmp_path / "data"
+    synthetic.generate(str(data_dir), left, right, split="test",
+                       num_samples=2)
+
+    script = os.path.join(os.path.dirname(__file__), "..", "tools",
+                          "run_reference_parity.sh")
+    env = dict(os.environ, PARITY_BS="2", PARITY_BACKBONE="1,1,1,1",
+               PARITY_COMPARE="0")
+    out_dir = tmp_path / "parity_out"
+    res = subprocess.run(
+        ["bash", script, str(pth), str(pkl_dir), str(data_dir),
+         str(out_dir)],
+        env=env, capture_output=True, text=True, timeout=1200)
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "SUMMARY" in open(out_dir / "eval_stdout.txt").read()
+    assert (out_dir / "mano" / "MANO_LEFT.npz").exists()
+
+
 def test_eval_cli_smoke(tmp_path, monkeypatch, capsys):
     from dir_tpu.data import synthetic
     from dir_tpu.mano import synthetic_mano, fix_left_shapedirs

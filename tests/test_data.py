@@ -113,3 +113,57 @@ def test_raw_eval_dataset(data_dir, manos):
     s = ds[0]
     assert s["verts_left_gt"].shape == (778, 3)
     assert s["camera"].shape == (3, 3)
+
+
+def test_raw_eval_dataset_hms(data_dir, manos):
+    """load_hms reads the 7-per-hand heatmap jpgs the reference's eval
+    dataset loads (dataset/interhand.py:62-66)."""
+    import os
+
+    import cv2 as cv
+
+    left, right = manos
+    hms_dir = os.path.join(data_dir, "test", "hms")
+    os.makedirs(hms_dir, exist_ok=True)
+    rng = np.random.RandomState(0)
+    for hand in ("left", "right"):
+        for h in range(7):
+            cv.imwrite(os.path.join(hms_dir, f"0_{h}_{hand}.jpg"),
+                       rng.randint(0, 255, (64, 64, 3), np.uint8))
+
+    ds = InterHandRawEval(data_dir, left, right, split="test",
+                          load_hms=True)
+    s = ds[0]
+    # Resized to the image size, like the reference (interhand.py:64).
+    assert s["hms_left"].shape == (7, 256, 256, 3)
+    assert s["hms_right"].shape == (7, 256, 256, 3)
+    assert np.isfinite(s["hms_left"]).all()
+
+
+def test_render_mesh_overlay(manos):
+    """The 3D mesh overlay renders both hands over the crop with
+    occlusion (counterpart of utils/visualize.py:75-105)."""
+    from dir_tpu.utils.visualize import render_mesh_overlay
+
+    left, right = manos
+    np_l, np_r = NumpyMano(left), NumpyMano(right)
+    eye = np.eye(3, dtype=np.float32).reshape(1, 3, 3)
+    pose = np.zeros((1, 45), np.float32)
+    shape = np.zeros((1, 10), np.float32)
+    vl, _ = np_l(eye, pose, shape,
+                 trans=np.array([[-0.03, 0, 0.5]], np.float32),
+                 center_idx=None)
+    vr, _ = np_r(eye, pose, shape,
+                 trans=np.array([[0.03, 0, 0.55]], np.float32),
+                 center_idx=None)
+    cam = np.array([[530.0, 0, 128], [0, 530.0, 128], [0, 0, 1]],
+                   np.float32)
+    img = np.full((256, 256, 3), 30, np.uint8)
+    out = render_mesh_overlay(img, vl[0], vr[0],
+                              np.asarray(right.faces), cam)
+    assert out.shape == (256, 256, 3) and out.dtype == np.uint8
+    # Mesh pixels actually landed on the image.
+    changed = (out != img).any(-1)
+    assert changed.sum() > 100
+    # Background is untouched.
+    assert (out[~changed] == 30).all()

@@ -127,6 +127,73 @@ def test_loss_decreases_overfitting_one_batch(env):
 
 
 @pytest.mark.slow
+def test_dp_step_equals_single_device(env):
+    """DP correctness, not just liveness: one sharded train step on the
+    8-device mesh must produce the same params / BN stats / loss dict as
+    the identical step on one device (XLA's SPMD partitioning computes
+    global-array semantics; the gradient all-reduce is exact up to fp32
+    reduction order)."""
+    import jax
+    import jax.numpy as jnp
+    from dir_tpu.train.state import create_train_state, make_optimizer
+    from dir_tpu.train.steps import make_train_step
+
+    cfg, left, right = env
+    from dir_tpu.models.dir import DIR
+
+    model = DIR(cfg.model)
+    b = 8
+    rng = np.random.RandomState(3)
+    batch = {
+        "img": rng.rand(b, 32, 32, 3).astype(np.float32),
+        "joint_2d_left": rng.randn(b, 21, 3).astype(np.float32),
+        "joint_2d_right": rng.randn(b, 21, 3).astype(np.float32),
+        "mesh_2d_left": rng.randn(b, 778, 3).astype(np.float32),
+        "mesh_2d_right": rng.randn(b, 778, 3).astype(np.float32),
+        "joint_3d_left": rng.randn(b, 21, 3).astype(np.float32) * 0.1,
+        "joint_3d_right": rng.randn(b, 21, 3).astype(np.float32) * 0.1,
+        "mesh_3d_left": rng.randn(b, 778, 3).astype(np.float32) * 0.1,
+        "mesh_3d_right": rng.randn(b, 778, 3).astype(np.float32) * 0.1,
+        "center_left": rng.randn(b, 1, 3).astype(np.float32) * 0.1,
+        "center_right": rng.randn(b, 1, 3).astype(np.float32) * 0.1,
+        "seg": rng.randint(0, 3, size=(b, 32, 32)).astype(np.int32),
+        "dense": rng.rand(b, 32, 32, 3).astype(np.float32),
+    }
+    img = jnp.asarray(batch["img"])
+    variables = model.init(jax.random.PRNGKey(0), img, left, right)
+    tx = make_optimizer(cfg.train, steps_per_epoch=10)
+
+    # Single device.
+    state1 = create_train_state(variables, tx)
+    step1 = make_train_step(model, tx, cfg.model, left, right, donate=False)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    state1, loss1 = step1(state1, jbatch)
+
+    # 8-device data mesh.
+    from dir_tpu.parallel.mesh import shard_batch
+    mesh = make_mesh(8)
+    state8 = create_train_state(variables, tx)
+    with mesh:
+        sbatch = shard_batch({k: np.asarray(v) for k, v in batch.items()},
+                             mesh)
+        step8 = make_train_step(model, tx, cfg.model, left, right,
+                                mesh=mesh, donate=False)
+        state8, loss8 = step8(state8, sbatch)
+
+    for k in loss1:
+        np.testing.assert_allclose(float(loss1[k]), float(loss8[k]),
+                                   rtol=2e-4, atol=1e-6, err_msg=k)
+    jax.tree.map(
+        lambda a, b_: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-3, atol=2e-5),
+        state1.params, state8.params)
+    jax.tree.map(
+        lambda a, b_: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=1e-5),
+        state1.batch_stats, state8.batch_stats)
+
+
+@pytest.mark.slow
 def test_trainer_resume(env):
     """continue_train restores step count and parameters."""
     import dataclasses

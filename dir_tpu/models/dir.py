@@ -97,18 +97,25 @@ def _mano_and_project(mano_left: ManoModel, mano_right: ManoModel,
 
 class ImgToJointFeature(nn.Module):
     """Sample image features at 2D joints, then a per-joint MLP
-    (models/dir.py:177-200)."""
+    (models/dir.py:177-200).
+
+    ``sampled`` short-circuits the sampling: the caller passes
+    pre-sampled (B, 21, C) features (both hands are sampled in ONE pass
+    over the feature map in RefineStage — half the HBM reads); the
+    parameter tree is identical either way."""
 
     out_dim: int
     dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, img_feat: jnp.ndarray, joint_uv: jnp.ndarray,
-                 train: bool = False) -> jnp.ndarray:
-        # training uses the one-hot matmul taps (scatter-free backward);
-        # inference keeps the cheaper gather
-        sample = grid_sample_nhwc_mm if train else grid_sample_nhwc
-        sampled = sample(img_feat, sg(joint_uv))  # (B, 21, C)
+                 train: bool = False,
+                 sampled: jnp.ndarray | None = None) -> jnp.ndarray:
+        if sampled is None:
+            # training uses the one-hot matmul taps (scatter-free
+            # backward); inference keeps the cheaper gather
+            sample = grid_sample_nhwc_mm if train else grid_sample_nhwc
+            sampled = sample(img_feat, sg(joint_uv))  # (B, 21, C)
         return MLP1d(self.out_dim, self.out_dim, dtype=self.dtype,
                      name="filters")(sampled, train)
 
@@ -227,10 +234,13 @@ class RefineStage(nn.Module):
         offset = sg(prev["pd_offset"])  # (B, 3)
 
         # --- joint-space interaction ---
+        # one sampling pass over img_feat for both hands (42 points)
+        sample = grid_sample_nhwc_mm if train else grid_sample_nhwc
+        sampled = sample(img_feat, jnp.concatenate([uv_l, uv_r], axis=1))
         jif_l = ImgToJointFeature(emd, dtype=dt, name="img2joint_left")(
-            img_feat, uv_l, train)
+            img_feat, uv_l, train, sampled=sampled[:, :cfg.joint_num])
         jif_r = ImgToJointFeature(emd, dtype=dt, name="img2joint_right")(
-            img_feat, uv_r, train)
+            img_feat, uv_r, train, sampled=sampled[:, cfg.joint_num:])
         jpf_l = MLP1d(emd, emd, dtype=dt, name="pos_emb_left")(
             xyz_l / scale, train)
         jpf_r = MLP1d(emd, emd, dtype=dt, name="pos_emb_right")(
@@ -368,14 +378,15 @@ class Decoder(nn.Module):
             train)
         outputs.append(result)
 
-        # Final seg / dense heads @ 32x32 (dir.py:404-420,474-476)
-        x = nn.Conv(d, (3, 3), padding="SAME", use_bias=False,
+        # Final seg / dense heads @ 32x32 (dir.py:404-420,474-476) — trunk
+        # dtype; both heads cast their outputs back to fp32 for the loss.
+        x = nn.Conv(d, (3, 3), padding="SAME", use_bias=False, dtype=dt,
                     kernel_init=conv_kernel_init, name="final_conv1")(enhance)
-        x = nn.relu(_bn(train, "final_bn")(x))
-        x = nn.Conv(d, (1, 1), kernel_init=conv_kernel_init,
+        x = nn.relu(_bn(train, "final_bn", dt)(x))
+        x = nn.Conv(d, (1, 1), dtype=dt, kernel_init=conv_kernel_init,
                     name="final_conv2")(x)
-        seg = SegDenseHead(name="seg")(x, train)
-        dense = SegDenseHead(name="dense")(x, train)
+        seg = SegDenseHead(dtype=dt, name="seg")(x, train)
+        dense = SegDenseHead(dtype=dt, name="dense")(x, train)
 
         return {
             "result_list": outputs,

@@ -13,6 +13,8 @@ import jax.numpy as jnp
 
 from dir_tpu.config import ModelConfig
 
+sg = jax.lax.stop_gradient
+
 
 def smooth_l1(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """Piecewise MSE/L1 with 0.01 threshold, per-sample mean over the
@@ -86,19 +88,24 @@ def weighted_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
     """
     w = jnp.asarray(class_weights, logits.dtype)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
-    pix_w = w[labels]
+    # one-hot contraction instead of take_along_axis: the gather's
+    # backward is a TPU scatter into logp; this stays elementwise.
+    onehot = jax.nn.one_hot(labels, logits.shape[-1], dtype=logits.dtype)
+    nll = -jnp.sum(logp * onehot, axis=-1)
+    pix_w = jnp.sum(w * onehot, axis=-1)
     return jnp.sum(nll * pix_w) / jnp.sum(pix_w)
 
 
 def _lovasz_grad(gt_sorted: jnp.ndarray) -> jnp.ndarray:
     """Gradient of the Lovász extension w.r.t. sorted errors
-    (lovasz_loss.py:19-31)."""
-    gts = jnp.sum(gt_sorted)
-    intersection = gts - jnp.cumsum(gt_sorted)
-    union = gts + jnp.cumsum(1.0 - gt_sorted)
+    (lovasz_loss.py:19-31). Batched: ``gt_sorted`` is (..., N) sorted
+    along the LAST axis; cumsums run per leading index."""
+    gts = jnp.sum(gt_sorted, axis=-1, keepdims=True)
+    intersection = gts - jnp.cumsum(gt_sorted, axis=-1)
+    union = gts + jnp.cumsum(1.0 - gt_sorted, axis=-1)
     jaccard = 1.0 - intersection / union
-    return jnp.concatenate([jaccard[:1], jaccard[1:] - jaccard[:-1]])
+    return jnp.concatenate([jaccard[..., :1],
+                            jaccard[..., 1:] - jaccard[..., :-1]], axis=-1)
 
 
 def lovasz_softmax(probas: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
@@ -109,30 +116,31 @@ def lovasz_softmax(probas: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     (models/dir.py:569) and we keep that behavior; labels: (B, H, W) int.
 
     jit-safe: every class is computed and masked by presence rather than
-    skipped in Python.
+    skipped in Python. TPU shape: the whole Lovász weight computation is
+    two batched minor-axis ``lax.sort`` calls on a (C, N) layout that
+    carry their payloads THROUGH the sort — no take_along_axis anywhere
+    (a (C, N) minor-axis gather measured ~5x the cost of the sort
+    itself; major-axis sorts and scatter-of-iota were worse still).
     """
     c = probas.shape[-1]
-    flat = probas.reshape(-1, c)
+    flat = probas.reshape(-1, c).T                    # (C, N)
     lab = labels.reshape(-1)
 
-    def class_loss(ci):
-        fg = (lab == ci).astype(flat.dtype)
-        errors = jnp.abs(fg - flat[:, ci])
-        order = jnp.argsort(-errors)
-        fg_sorted = fg[order]
-        grad = _lovasz_grad(fg_sorted)
-        # dot(relu(errors_sorted), grad) == dot(relu(errors), grad[inv]):
-        # unsorting the (detached, reference lovasz_loss.py:109) Lovász
-        # weights instead of sorting the errors removes the permutation
-        # gather from the differentiable path — backward is elementwise,
-        # no TPU scatter.
-        inv = jnp.argsort(order)
-        w = jax.lax.stop_gradient(grad[inv])
-        return jnp.dot(jax.nn.relu(errors), w), jnp.sum(fg) > 0
-
-    losses, present = zip(*[class_loss(ci) for ci in range(c)])
-    losses = jnp.stack(losses)
-    present = jnp.stack(present).astype(losses.dtype)
+    fg = jax.nn.one_hot(lab, c, dtype=flat.dtype).T   # (C, N)
+    errors = jnp.abs(fg - flat)                       # (C, N)
+    # Lovász weights (detached per the reference, lovasz_loss.py:109):
+    # sort #1 descends by error carrying (fg, position); sort #2 keys by
+    # position to un-sort the weights — dot(relu(errors_sorted), grad)
+    # == dot(relu(errors), w). The differentiable path stays elementwise
+    # (no gather/scatter on TPU; sorts see only detached values).
+    pos = jax.lax.broadcasted_iota(jnp.int32, errors.shape, 1)
+    _, fg_sorted, order = jax.lax.sort(
+        (sg(-errors), sg(fg), pos), dimension=-1, num_keys=1)
+    grad = _lovasz_grad(fg_sorted)                    # (C, N)
+    _, w = jax.lax.sort((order, grad), dimension=-1, num_keys=1)
+    w = sg(w)
+    losses = jnp.sum(jax.nn.relu(errors) * w, axis=-1)  # (C,)
+    present = (jnp.sum(fg, axis=-1) > 0).astype(losses.dtype)
     return jnp.sum(losses * present) / jnp.maximum(jnp.sum(present), 1.0)
 
 

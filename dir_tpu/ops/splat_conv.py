@@ -108,12 +108,13 @@ def fused_splat_conv(uv_left: jnp.ndarray, uv_right: jnp.ndarray,
     # per-sample precontraction: G (B, 3, 3, 80, O)
     g = jnp.einsum("xyjco,bjc->bxyjo", kh, ftil.astype(kh.dtype))
 
-    # spatial pass: nine shifted K=80 matmuls (SAME padding)
+    # spatial pass (SAME padding): the nine shifted windows concatenate
+    # channel-wise into ONE K=720 batched matmul — measured faster than
+    # nine K=80 matmuls fwd+bwd (K=80 pads to a 128 MXU tile; the
+    # gradient matmuls inherit the fat K too).
     pad = jnp.pad(wtil, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    out = jnp.zeros((b, size * size, o), g.dtype)
-    for dy in range(3):
-        for dx in range(3):
-            win = pad[:, dy:dy + size, dx:dx + size].reshape(
-                b, size * size, 80)
-            out = out + jnp.einsum("bpj,bjo->bpo", win, g[:, dy, dx])
+    wins = [pad[:, dy:dy + size, dx:dx + size]
+            for dy in range(3) for dx in range(3)]
+    wun = jnp.concatenate(wins, axis=-1).reshape(b, size * size, 9 * 80)
+    out = jnp.einsum("bpk,bko->bpo", wun, g.reshape(b, 9 * 80, o))
     return out.reshape(b, size, size, o) + bias.astype(g.dtype)

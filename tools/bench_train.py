@@ -29,7 +29,8 @@ def main():
 
     import os as _os
     cfg = ModelConfig(dtype="bfloat16",
-                      mano_precision=_os.environ.get("MANO_PREC", "highest"))
+                      mano_precision=_os.environ.get("MANO_PREC", "high"),
+                      backbone_stem=_os.environ.get("STEM", "conv7"))
     mano_r = synthetic_mano("right", seed=0)
     mano_l = fix_left_shapedirs(synthetic_mano("left", seed=0), mano_r)
     model = DIR(cfg)

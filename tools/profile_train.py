@@ -1,18 +1,18 @@
-"""Capture a device trace of the train step and print the op breakdown."""
+"""Capture a device trace of the train step and print the op breakdown
+(per HLO category + per source line, via tools/trace_util.py)."""
 
-import gzip
-import glob
-import json
-import collections
 import os
 import sys
 
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
                                                 "..")))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
+
+from trace_util import report  # noqa: E402
 
 BATCH = 64
 TRACE_DIR = os.environ.get("TRACE_DIR", "/tmp/dir_tpu_trace")
@@ -25,7 +25,8 @@ def main():
     from dir_tpu.train.state import create_train_state, make_optimizer
     from dir_tpu.train.steps import make_train_step
 
-    cfg = ModelConfig(dtype="bfloat16")
+    cfg = ModelConfig(dtype="bfloat16",
+                      mano_precision=os.environ.get("MANO_PREC", "high"))
     mano_r = synthetic_mano("right", seed=0)
     mano_l = fix_left_shapedirs(synthetic_mano("left", seed=0), mano_r)
     model = DIR(cfg)
@@ -64,21 +65,7 @@ def main():
     jax.block_until_ready(loss)
     jax.profiler.stop_trace()
 
-    traces = sorted(glob.glob(
-        os.path.join(TRACE_DIR, "plugins/profile/*/*.trace.json.gz")))
-    with gzip.open(traces[-1]) as f:
-        data = json.load(f)
-    durs = collections.Counter()
-    for e in data.get("traceEvents", []):
-        if e.get("ph") == "X" and "dur" in e:
-            name = e.get("name", "?")
-            if name.startswith("$") or "block_until" in name:
-                continue
-            durs[name[:70]] += e["dur"]
-    total = sum(durs.values())
-    print(f"total device-event time: {total / 1000:.1f} ms over 3 steps")
-    for name, d in durs.most_common(40):
-        print(f"{d / 3000:7.3f} ms/step  {name}")
+    report(TRACE_DIR, steps=3)
 
 
 if __name__ == "__main__":

@@ -42,7 +42,8 @@ ITERS = 10
 def bench_eval():
     from __graft_entry__ import _flagship
 
-    model, _, mano_l, mano_r = _flagship(dtype="bfloat16")
+    model, _, mano_l, mano_r = _flagship(dtype="bfloat16",
+                                         fused_bottleneck_eval=True)
     rng = np.random.RandomState(0)
     img = jnp.asarray(rng.randn(BATCH, 256, 256, 3).astype(np.float32))
     # Shape-only init: parameter values are irrelevant for throughput and

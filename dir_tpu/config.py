@@ -57,6 +57,12 @@ class ModelConfig:
     # Use the fused Pallas bone-splat kernel (TPU only; the jnp path is
     # used on CPU and under interpret-mode tests).
     use_pallas_splat: bool = False
+    # Inference-only fused Pallas bottleneck for the early (HBM-bound)
+    # backbone stages: BN folded into the convs, the whole block in one
+    # VMEM pass (~2x the XLA block at 64^2; ops/pallas_bottleneck.py).
+    # Training and stride-2 blocks always use the XLA path; parameters
+    # are identical. Interpret-mode on non-TPU backends.
+    fused_bottleneck_eval: bool = False
     # MANO contraction precision: "highest" (bit-parity eval) or "high"
     # (bf16x3, ~1e-6 rel err, ~2x fewer MXU passes — use for training).
     mano_precision: str = "highest"

@@ -8,6 +8,7 @@ BN-ReLU-3x3 -> BN-ReLU-1x1 with a 1x1 skip when channel counts differ.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 # torch BatchNorm defaults: eps=1e-5, momentum=0.1 (flax momentum is the
@@ -148,8 +149,11 @@ def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
 
     For an exact 2x scale with align_corners=False, the output pixel i
     samples input coordinate (i + 0.5)/2 - 0.5 — jax.image.resize with
-    method='linear' implements the same half-pixel convention.
+    method='linear' implements the same half-pixel convention. (An
+    explicit separable 0.75/0.25 stencil with stack-interleave was
+    measured 3.5x SLOWER than this lowering on TPU — the even/odd
+    interleave becomes strided data formatting; resize lowers to a
+    well-tiled convolution.)
     """
     b, h, w, c = x.shape
-    import jax
     return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="linear")

@@ -29,9 +29,28 @@ class Bottleneck(nn.Module):
     downsample: bool = False
     expansion: int = 4
     dtype: object = jnp.float32
+    # Inference-only fused Pallas path (ops/pallas_bottleneck.py): the
+    # whole block runs in VMEM with BN folded into the convs — ~2x the
+    # XLA block at the HBM-bound 64^2 shapes. Train + stride-2 blocks
+    # always use the XLA path; parameters are identical either way.
+    fused_eval: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # The per-sample-grid kernel wins where XLA is HBM-bound: layer1
+        # (64^2 spatial; measured 3.1 vs 6.1 ms/block at batch 256).
+        # Three guards from measurement: later stages are compute-bound
+        # (XLA's batched convs run at 130-180 TF/s) and the 32^2/512ch
+        # shape additionally hits a pathological Mosaic compile; inputs
+        # with <128 channels force a half-empty-lane default layout on
+        # the kernel operand, and XLA pays a 268 MB relayout copy plus
+        # an unfused reduce-window upstream — costlier than the fusion
+        # saves (so layer1_0, whose input is the 64-ch pool, stays XLA).
+        if (self.fused_eval and not train and self.stride == 1
+                and x.shape[1] * x.shape[2] >= 4096 and x.shape[-1] >= 128
+                and not self.is_initializing()):
+            return self._fused_infer(x)
+
         def bn(name):
             return nn.BatchNorm(use_running_average=not train,
                                 momentum=BN_MOMENTUM, epsilon=BN_EPS,
@@ -63,6 +82,35 @@ class Bottleneck(nn.Module):
                                dtype=self.dtype, name="down_conv")(x)
             identity = bn("down_bn")(identity)
         return nn.relu(out + identity)
+
+    def _fused_infer(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Fold the BNs and run the whole block as one Pallas kernel.
+
+        Reads the variables the XLA branch created at init — the
+        parameter tree is identical; only execution differs."""
+        import jax
+
+        from dir_tpu.ops.pallas_bottleneck import (fold_bn,
+                                                   fused_bottleneck_infer)
+
+        p = lambda n: self.get_variable("params", n)  # noqa: E731
+        s = lambda n: self.get_variable("batch_stats", n)  # noqa: E731
+
+        def fold(conv, bnn):
+            return fold_bn(p(conv)["kernel"], p(bnn)["scale"],
+                           p(bnn)["bias"], s(bnn)["mean"], s(bnn)["var"],
+                           BN_EPS)
+
+        w1, b1 = fold("conv1", "bn1")
+        w2, b2 = fold("conv2", "bn2")
+        w3, b3 = fold("conv3", "bn3")
+        wd = bd = None
+        if self.downsample:
+            wd, bd = fold("down_conv", "down_bn")
+            wd = wd[0, 0]
+        return fused_bottleneck_infer(
+            x.astype(self.dtype), w1[0, 0], b1, w2, b2, w3[0, 0], b3,
+            wd, bd, interpret=jax.default_backend() != "tpu")
 
 
 def space_to_depth(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
@@ -112,6 +160,7 @@ class ResNetPyramid(nn.Module):
     layers: Sequence[int] = (3, 4, 6, 3)  # resnet50
     dtype: object = jnp.float32
     stem: str = "conv7"
+    fused_eval: bool = False  # see Bottleneck.fused_eval
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
@@ -127,8 +176,9 @@ class ResNetPyramid(nn.Module):
                         padding=((3, 3), (3, 3)),
                         use_bias=False, kernel_init=conv_kernel_init,
                         dtype=self.dtype, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, dtype=self.dtype, name="bn1")(x)
+        x = nn.BatchNorm(use_running_average=not train,
+                         momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                         dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2),
                         padding=((1, 1), (1, 1)))
@@ -138,10 +188,11 @@ class ResNetPyramid(nn.Module):
         for stage, (blocks, p) in enumerate(zip(self.layers, planes)):
             stride = 1 if stage == 0 else 2
             x = Bottleneck(p, stride=stride, downsample=True,
-                           dtype=self.dtype,
+                           dtype=self.dtype, fused_eval=self.fused_eval,
                            name=f"layer{stage + 1}_0")(x, train)
             for b in range(1, blocks):
                 x = Bottleneck(p, dtype=self.dtype,
+                               fused_eval=self.fused_eval,
                                name=f"layer{stage + 1}_{b}")(x, train)
             feats.append(x)
         return feats

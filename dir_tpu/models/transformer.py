@@ -48,8 +48,13 @@ class Attention(nn.Module):
 
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
                        name="qkv")(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
+        # split along the (contiguous, 3-major) last axis — identical to
+        # reshape(b, n, 3, h, d) + index on dim 2, but a cheap minor-axis
+        # slice instead of a mid-tensor strided copy on TPU
+        hd = (b, n, self.num_heads, head_dim)
+        q = qkv[..., :c].reshape(hd)
+        k = qkv[..., c:2 * c].reshape(hd)
+        v = qkv[..., 2 * c:].reshape(hd)
 
         attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
         attn = nn.softmax(attn, axis=-1)

@@ -1,0 +1,161 @@
+"""Fused ResNet bottleneck INFERENCE kernel (Pallas TPU).
+
+Eval profiling (tools/profile_eval.py) shows the early backbone stages
+are HBM-bound under XLA: every conv in a bottleneck block round-trips
+its (B, 64, 64, C) intermediate through HBM (layer1's three 1x1
+expansions alone: 5.9 ms at 44 TF/s for batch 256 — reads/writes of
+537 MB activations dominate). This kernel computes a whole bottleneck
+block — conv1x1 -> BN -> ReLU -> conv3x3 -> BN -> ReLU -> conv1x1 -> BN
+-> (+ residual) -> ReLU, reference models/backbone/resnet.py:59-82 —
+for one sample per grid step entirely in VMEM: HBM traffic drops to the
+block input + output only.
+
+Inference-only by design: BatchNorm running statistics fold into the
+conv weights (exact affine fold, done in fp32 at trace time), and
+training keeps the XLA path (the backward needs the intermediates this
+kernel deliberately never materializes). Stride-1 identity blocks and
+the stride-1 projection block (layer1_0) are supported; stride-2 blocks
+stay on XLA (they are compute-bound there, not bandwidth-bound).
+
+The 3x3 conv runs as ONE K=9M matmul over a shifted-window concat built
+in VMEM — M=64 channel blocks would otherwise waste 3/4 of the MXU.
+
+Negative results from this kernel's tuning (kept so they aren't re-run):
+  * 32x32x512 (layer2) blocks: Mosaic compile does not terminate
+    (>10 min) for the same kernel at that shape — layer2 stays on XLA.
+  * A stem variant folding bn1 + relu + maxpool3x3/2 + layer1_0 into
+    one kernel (boundary at the raw stem-conv output) was built and
+    verified in interpret mode, but the (128, 128, 64) per-sample
+    working set OOMs the 16 MB VMEM stack (26.5 MB scoped): C=64
+    operands pad to 128 lanes, doubling every buffer. A 64-channel
+    kernel boundary also forces XLA into a 268 MB relayout copy + an
+    unfused reduce-window upstream, which is why blocks with <128
+    input channels (layer1_0) stay on XLA entirely — see the guard in
+    models/resnet.py Bottleneck.__call__.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def fold_bn(kernel: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+            mean: jnp.ndarray, var: jnp.ndarray, eps: float = 1e-5):
+    """Fold an inference BatchNorm into the preceding conv (fp32, exact):
+    BN(conv(x, W)) == conv(x, W * g) + (b - m * g), g = scale/sqrt(var+eps).
+    kernel: (..., O); returns (folded_kernel, folded_bias) in fp32."""
+    g = (scale / jnp.sqrt(var + eps)).astype(jnp.float32)
+    w = kernel.astype(jnp.float32) * g
+    b = bias.astype(jnp.float32) - mean.astype(jnp.float32) * g
+    return w, b
+
+
+def _bottleneck_body(xf, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                     wd_ref, bd_ref, *, h: int, w: int, mid: int,
+                     has_down: bool):
+    """Shared VMEM bottleneck math. xf: (H*W, C) activations."""
+    f32 = jnp.float32
+    hw = h * w
+
+    # conv1 1x1 + bn1 + relu
+    y1 = jnp.dot(xf, w1_ref[...], preferred_element_type=f32)
+    y1 = jnp.maximum(y1 + b1_ref[...], 0.0).astype(xf.dtype)
+
+    # conv2 3x3 (padding 1) + bn2 + relu: shifted windows concatenated
+    # channel-wise -> one K=9*mid matmul on the MXU
+    y1p = jnp.pad(y1.reshape(h, w, mid), ((1, 1), (1, 1), (0, 0)))
+    cols = [y1p[dy:dy + h, dx:dx + w].reshape(hw, mid)
+            for dy in range(3) for dx in range(3)]
+    ycat = jnp.concatenate(cols, axis=-1)          # (HW, 9*mid)
+    y2 = jnp.dot(ycat, w2_ref[...], preferred_element_type=f32)
+    y2 = jnp.maximum(y2 + b2_ref[...], 0.0).astype(xf.dtype)
+
+    # conv3 1x1 + bn3, residual (optionally projected), relu. The add
+    # runs in the activation dtype — matching the XLA trunk (conv3/bn3
+    # emit bf16 there too) and halving the VMEM of the two (HW, O)
+    # temporaries (the fp32 version OOMs the 16 MB VMEM stack).
+    y3 = (jnp.dot(y2, w3_ref[...], preferred_element_type=f32)
+          + b3_ref[...]).astype(xf.dtype)
+    if has_down:
+        res = (jnp.dot(xf, wd_ref[...], preferred_element_type=f32)
+               + bd_ref[...]).astype(xf.dtype)
+    else:
+        res = xf
+    return jnp.maximum(y3 + res, 0.0)
+
+
+def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+            wd_ref, bd_ref, out_ref, *, h: int, w: int, mid: int,
+            has_down: bool):
+    x = x_ref[0]                                   # (H, W, C) bf16
+    xf = x.reshape(h * w, x.shape[-1])
+    out = _bottleneck_body(xf, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
+                           b3_ref, wd_ref, bd_ref, h=h, w=w, mid=mid,
+                           has_down=has_down)
+    out_ref[0] = out.astype(out_ref.dtype).reshape(h, w, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_bottleneck_infer(x: jnp.ndarray,
+                           w1: jnp.ndarray, b1: jnp.ndarray,
+                           w2: jnp.ndarray, b2: jnp.ndarray,
+                           w3: jnp.ndarray, b3: jnp.ndarray,
+                           wd: jnp.ndarray | None = None,
+                           bd: jnp.ndarray | None = None,
+                           interpret: bool = False) -> jnp.ndarray:
+    """One fused stride-1 bottleneck block at inference.
+
+    Args:
+        x: (B, H, W, C) input (bf16 recommended).
+        w1: (C, M) folded conv1 kernel (fp32); b1: (M,).
+        w2: (3, 3, M, M) folded conv2 kernel; b2: (M,).
+        w3: (M, O) folded conv3 kernel; b3: (O,).
+        wd, bd: optional (C, O)/(O,) folded projection for the residual
+            (layer1_0's stride-1 downsample); identity residual if None.
+    Returns:
+        (B, H, W, O) block output, dtype of x.
+    """
+    b, h, w, c = x.shape
+    mid = w1.shape[-1]
+    o = w3.shape[-1]
+    has_down = wd is not None
+    if not has_down:
+        wd = jnp.zeros((c, o), jnp.float32)
+        bd = jnp.zeros((o,), jnp.float32)
+    dt = x.dtype
+    # weights enter the MXU in the input dtype (bf16 trunk); biases and
+    # accumulation stay fp32
+    w1c = w1.astype(dt)
+    w2c = w2.reshape(9 * mid, mid).astype(dt)
+    w3c = w3.astype(dt)
+    wdc = wd.astype(dt)
+
+    kernel = functools.partial(_kernel, h=h, w=w, mid=mid,
+                               has_down=has_down)
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    flops_333 = 2 * h * w * (c * mid + 9 * mid * mid + mid * o
+                             + (c * o if has_down else 0))
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            wspec, wspec, wspec, wspec, wspec, wspec, wspec, wspec,
+        ],
+        out_specs=pl.BlockSpec((1, h, w, o), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, o), dt),
+        cost_estimate=pl.CostEstimate(
+            flops=b * flops_333,
+            bytes_accessed=b * h * w * (c + o) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, w1c, b1.astype(jnp.float32), w2c, b2.astype(jnp.float32),
+      w3c, b3.astype(jnp.float32), wdc, bd.astype(jnp.float32))

@@ -10,6 +10,7 @@ set of points (we never need a full dense grid), NHWC, gather-based —
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -58,17 +59,18 @@ def grid_sample_nhwc(features: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
 
 def grid_sample_nhwc_mm(features: jnp.ndarray,
                         coords: jnp.ndarray) -> jnp.ndarray:
-    """Same semantics as :func:`grid_sample_nhwc`, but each bilinear tap
-    is a one-hot matmul instead of a gather.
+    """Same semantics as :func:`grid_sample_nhwc`, but the bilinear
+    interpolation is ONE selection-matrix matmul instead of gathers.
 
-    The gather's backward is a TPU scatter-add into the (B, H, W, C)
-    feature map; expressing the tap as ``one_hot(idx) @ features`` keeps
-    both directions on the MXU (exact — one-hot entries are 0/1). For a
-    few dozen points per image the extra FLOPs are negligible; use this
-    inside training graphs, the gather version elsewhere.
+    The four taps' weighted one-hot rows sum into a single (B, N, H*W)
+    interpolation matrix, so sampling is one einsum: the gather's
+    backward is a TPU scatter-add into the (B, H, W, C) feature map,
+    while the matmul keeps both directions on the MXU (the gather even
+    measures slower than this FORWARD at eval batch sizes). The sampling
+    coordinates are always detached upstream (reference dir.py:198), so
+    no gradient flows through the selection matrix itself. For a few
+    dozen points per image the extra FLOPs are negligible.
     """
-    import jax
-
     b, h, w, c = features.shape
     x = (coords[..., 0] + 1.0) * w / 2.0 - 0.5
     y = (coords[..., 1] + 1.0) * h / 2.0 - 0.5
@@ -82,15 +84,15 @@ def grid_sample_nhwc_mm(features: jnp.ndarray,
 
     flat = features.reshape(b, h * w, c)
 
-    def tap(xi, yi, wgt):
+    def sel_tap(xi, yi, wgt):
         inside = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
         xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
         yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
         sel = jax.nn.one_hot(yc * w + xc, h * w, dtype=features.dtype)
-        sel = sel * (wgt * inside.astype(features.dtype))[..., None]
-        return jnp.einsum("bnp,bpc->bnc", sel, flat)
+        return sel * (wgt * inside.astype(features.dtype))[..., None]
 
-    return (tap(x0, y0, wx0 * wy0)
-            + tap(x0 + 1, y0, wx1 * wy0)
-            + tap(x0, y0 + 1, wx0 * wy1)
-            + tap(x0 + 1, y0 + 1, wx1 * wy1))
+    sel = (sel_tap(x0, y0, wx0 * wy0)
+           + sel_tap(x0 + 1, y0, wx1 * wy0)
+           + sel_tap(x0, y0 + 1, wx0 * wy1)
+           + sel_tap(x0 + 1, y0 + 1, wx1 * wy1))
+    return jnp.einsum("bnp,bpc->bnc", sel, flat)

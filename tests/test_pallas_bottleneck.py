@@ -1,0 +1,117 @@
+"""Fused bottleneck inference kernel vs the flax Bottleneck (oracle).
+
+Runs the Pallas kernel in interpret mode on CPU and compares against
+the unfused flax module with BatchNorm running statistics — the exact
+path the kernel replaces at inference (resnet.py Bottleneck,
+reference models/backbone/resnet.py:59-82).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dir_tpu.models.resnet import Bottleneck
+from dir_tpu.ops.pallas_bottleneck import fold_bn, fused_bottleneck_infer
+
+
+def _fold_from_variables(variables, names=("conv1", "conv2", "conv3"),
+                         bns=("bn1", "bn2", "bn3")):
+    p = variables["params"]
+    s = variables["batch_stats"]
+    out = []
+    for cn, bn in zip(names, bns):
+        k = p[cn]["kernel"]
+        w, b = fold_bn(k, p[bn]["scale"], p[bn]["bias"],
+                       s[bn]["mean"], s[bn]["var"])
+        out.append((w, b))
+    return out
+
+
+def _rand_variables(rng, variables):
+    """Random params + non-trivial BN stats (zeros would mask bugs).
+    Conv kernels get xavier-ish scale so activations stay O(1) through
+    the stack (unscaled uniforms explode to ~1e5 over four stages and
+    drown the comparison in accumulation-order noise)."""
+    leaves, treedef = jax.tree.flatten(variables)
+    new = []
+    for leaf in leaves:
+        if leaf.ndim == 1:
+            arr = rng.uniform(0.5, 1.0, size=leaf.shape)
+        else:
+            fan_in = int(np.prod(leaf.shape[:-1]))
+            arr = rng.uniform(-1.0, 1.0, size=leaf.shape) / np.sqrt(fan_in)
+        new.append(jnp.asarray(arr.astype(leaf.dtype)))
+    return jax.tree.unflatten(treedef, new)
+
+
+@pytest.mark.parametrize("down", [False, True])
+def test_fused_bottleneck_matches_flax(down):
+    rng = np.random.RandomState(0)
+    c, mid = 32, 8
+    block = Bottleneck(mid, stride=1, downsample=down, expansion=c // mid)
+    x = jnp.asarray(rng.randn(2, 8, 8, c).astype(np.float32))
+    variables = block.init(jax.random.PRNGKey(0), x)
+    variables = _rand_variables(rng, variables)
+
+    ref = block.apply(variables, x, train=False)
+
+    (w1, b1), (w2, b2), (w3, b3) = _fold_from_variables(variables)
+    w1 = w1[0, 0]
+    w3 = w3[0, 0]
+    if down:
+        wd, bd = fold_bn(variables["params"]["down_conv"]["kernel"],
+                         variables["params"]["down_bn"]["scale"],
+                         variables["params"]["down_bn"]["bias"],
+                         variables["batch_stats"]["down_bn"]["mean"],
+                         variables["batch_stats"]["down_bn"]["var"])
+        wd = wd[0, 0]
+    else:
+        wd = bd = None
+    out = fused_bottleneck_infer(x, w1, b1, w2, b2, w3, b3, wd, bd,
+                                 interpret=True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_bottleneck_bf16_close():
+    rng = np.random.RandomState(1)
+    c, mid = 32, 8
+    block = Bottleneck(mid, stride=1, downsample=False,
+                       expansion=c // mid, dtype=jnp.bfloat16)
+    x32 = rng.randn(2, 8, 8, c).astype(np.float32)
+    variables = block.init(jax.random.PRNGKey(0), jnp.asarray(x32))
+    variables = _rand_variables(rng, variables)
+    ref = block.apply(variables, jnp.asarray(x32), train=False)
+
+    (w1, b1), (w2, b2), (w3, b3) = _fold_from_variables(variables)
+    out = fused_bottleneck_infer(jnp.asarray(x32).astype(jnp.bfloat16),
+                                 w1[0, 0], b1, w2, b2, w3[0, 0], b3,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0.05, atol=0.05)
+
+
+def test_backbone_fused_eval_matches_unfused():
+    """ResNetPyramid(fused_eval=True) == the XLA path at inference
+    (fp32, interpret mode; 256^2 input puts layer1 at 64^2 so the
+    spatial guard engages)."""
+    from dir_tpu.models.resnet import ResNetPyramid
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 256, 256, 3).astype(np.float32))
+    plain = ResNetPyramid(layers=(1, 1, 1, 1))
+    fused = ResNetPyramid(layers=(1, 1, 1, 1), fused_eval=True)
+    variables = plain.init(jax.random.PRNGKey(0), x)
+    variables = _rand_variables(np.random.RandomState(3), variables)
+
+    ref = plain.apply(variables, x, train=False)
+    out = fused.apply(variables, x, train=False)
+    # random un-normalized weights blow activations up to ~1e3 over four
+    # stages, amplifying fp32 accumulation-order differences; 2e-3
+    # relative is tight for that scale
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=2e-3, atol=2e-3)

@@ -28,7 +28,9 @@ def main():
     from dir_tpu.mano import synthetic_mano, fix_left_shapedirs
     from dir_tpu.models.dir import DIR
 
-    cfg = ModelConfig(dtype="bfloat16", backbone_stem=STEM)
+    cfg = ModelConfig(dtype="bfloat16", backbone_stem=STEM,
+                      fused_bottleneck_eval=os.environ.get(
+                          "FUSED_BOTTLENECK", "1") != "0")
     mano_r = synthetic_mano("right", seed=0)
     mano_l = fix_left_shapedirs(synthetic_mano("left", seed=0), mano_r)
     model = DIR(cfg)

@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--stage", type=int, default=-1,
                     help="stage to evaluate (-1 = final refinement, the "
                          "reference's stage_num-1; apps/eval.py:170)")
+    ap.add_argument("--fused_bottleneck", action="store_true",
+                    help="fused Pallas bottleneck inference kernels for "
+                         "the early backbone (TPU; ~6%% faster eval, "
+                         "bf16-trunk numerics)")
     opt = ap.parse_args()
 
     import jax
@@ -64,7 +68,8 @@ def main():
         mano_l, mano_r = load_mano_pair(opt.mano_path)
     layers = tuple(int(x) for x in opt.backbone_layers.split(","))
     cfg = ModelConfig(root_joint=opt.root_joint, dtype=opt.dtype,
-                      backbone_layers=layers)
+                      backbone_layers=layers,
+                      fused_bottleneck_eval=opt.fused_bottleneck)
     model = DIR(cfg)
 
     img0 = jnp.zeros((1, 256, 256, 3), jnp.float32)

@@ -29,9 +29,14 @@ def smooth_l1(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
 
 
 def _normalize(v: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
-    """torch F.normalize semantics: v / max(||v||, eps)."""
-    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
-    return v / jnp.maximum(n, eps)
+    """torch F.normalize semantics: v / max(||v||, eps).
+
+    Clamped INSIDE the sqrt (same value, sqrt is monotone): clamping
+    after gives a 0 * inf = NaN VJP on exactly-degenerate rows — see
+    ops/rotation.py _normalize_rows."""
+    n = jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True),
+                             eps * eps))
+    return v / n
 
 
 def _face_edges(coord: jnp.ndarray, faces: jnp.ndarray):

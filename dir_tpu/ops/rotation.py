@@ -77,9 +77,17 @@ def rodrigues(axis: jnp.ndarray) -> jnp.ndarray:
 
 
 def _normalize_rows(v: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
-    """Row-normalize with magnitude clamped to at least eps (rot6d.py:55-61)."""
-    mag = jnp.sqrt(jnp.sum(v * v, axis=1, keepdims=True))
-    mag = jnp.maximum(mag, eps)
+    """Row-normalize with magnitude clamped to at least eps (rot6d.py:55-61).
+
+    The clamp sits INSIDE the sqrt: ``sqrt(max(s, eps^2))`` equals the
+    reference's ``max(sqrt(s), eps)`` exactly (sqrt is monotone), but
+    its VJP is finite at s == 0 — ``max`` after the sqrt multiplies the
+    sqrt's infinite derivative by a zero cotangent and emits NaN. The
+    robust-6D path hits s == 0 for real inputs (x - y with the two
+    normalized directions equal in fp32), and one NaN there poisons
+    every backbone gradient upstream."""
+    sq = jnp.sum(v * v, axis=1, keepdims=True)
+    mag = jnp.sqrt(jnp.maximum(sq, eps * eps))
     return v / mag
 
 

@@ -83,6 +83,7 @@ def test_run_reference_parity_script(tmp_path):
     assert (out_dir / "mano" / "MANO_LEFT.npz").exists()
 
 
+@pytest.mark.slow
 def test_eval_cli_smoke(tmp_path, monkeypatch, capsys):
     from dir_tpu.data import synthetic
     from dir_tpu.mano import synthetic_mano, fix_left_shapedirs

@@ -4,6 +4,9 @@ tolerance and MANO outputs stay fp32."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
+
+pytestmark = pytest.mark.slow  # two full-model CPU compiles, ~1 min
 
 from dir_tpu.config import ModelConfig
 from dir_tpu.mano import synthetic_mano, fix_left_shapedirs

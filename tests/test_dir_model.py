@@ -7,6 +7,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # full-model CPU compiles, ~4 min
+
 from dir_tpu.config import ModelConfig
 from dir_tpu.mano import synthetic_mano, fix_left_shapedirs
 from dir_tpu.models.dir import DIR

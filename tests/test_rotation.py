@@ -99,3 +99,27 @@ def test_rotation_project(rng):
     refl[:, :, 2] *= -1
     proj2 = np.asarray(rotation_project(jnp.asarray(refl)))
     _assert_rotation(proj2, atol=1e-4)
+
+
+def test_6d_gradients_finite_at_degenerate_inputs():
+    """Exactly-degenerate 6D inputs must yield finite gradients: the
+    robust variant hits x - y == 0 when both directions coincide, the
+    plain variant cross(x, y) == 0 when they are parallel. A NaN here
+    poisons every upstream gradient (found via the DP-equivalence
+    test: clamp-after-sqrt normalization has a 0 * inf VJP)."""
+    import jax
+
+    from dir_tpu.ops.rotation import (robust_rot6d_to_rotmat,
+                                      rot6d_to_rotmat)
+
+    degenerate = jnp.asarray([
+        [1.0, 0.0, 0.0, 1.0, 0.0, 0.0],    # x == y
+        [0.5, 0.5, 0.0, -0.5, -0.5, 0.0],  # x == -y
+        [0.0, 0.0, 0.0, 0.0, 0.0, 0.0],    # all-zero
+        [0.3, -0.2, 0.9, 0.1, 0.4, -0.5],  # generic (control)
+    ])
+    for fn in (robust_rot6d_to_rotmat, rot6d_to_rotmat):
+        val = fn(degenerate)
+        assert bool(jnp.all(jnp.isfinite(val))), fn.__name__
+        grad = jax.grad(lambda p: jnp.sum(fn(p) ** 2))(degenerate)
+        assert bool(jnp.all(jnp.isfinite(grad))), fn.__name__

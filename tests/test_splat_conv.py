@@ -3,6 +3,9 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
+
+pytestmark = pytest.mark.slow  # jit sweep over sizes, ~70 s
 
 from dir_tpu.ops.bone_splat import bone_splat
 from dir_tpu.ops.splat_conv import fused_splat_conv, splat_weights

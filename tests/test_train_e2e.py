@@ -129,10 +129,19 @@ def test_loss_decreases_overfitting_one_batch(env):
 @pytest.mark.slow
 def test_dp_step_equals_single_device(env):
     """DP correctness, not just liveness: one sharded train step on the
-    8-device mesh must produce the same params / BN stats / loss dict as
-    the identical step on one device (XLA's SPMD partitioning computes
-    global-array semantics; the gradient all-reduce is exact up to fp32
-    reduction order)."""
+    8-device mesh must agree with the identical step on one device
+    (XLA's SPMD partitioning computes global-array semantics; the
+    gradient all-reduce is exact up to fp32 reduction order).
+
+    Compared quantities: the loss dict and BN stats tightly, the
+    GRADIENTS leaf-wise by relative norm (the actual all-reduce
+    output), and the post-AdamW params only by the per-element 2*lr
+    bound + finiteness — at step 1 Adam's update is ~lr*sign(grad), so
+    an ulp-level reduction-order difference on any near-zero gradient
+    component legitimately flips a full +-lr and element-wise param
+    comparison measures noise, not correctness. (The finiteness check
+    matters: it caught NaN gradients that assert_allclose's default
+    equal_nan=True silently accepted.)"""
     import jax
     import jax.numpy as jnp
     from dir_tpu.train.state import create_train_state, make_optimizer
@@ -183,13 +192,71 @@ def test_dp_step_equals_single_device(env):
     for k in loss1:
         np.testing.assert_allclose(float(loss1[k]), float(loss8[k]),
                                    rtol=2e-4, atol=1e-6, err_msg=k)
+
+    # Gradients: the direct output of the sharded all-reduce. Leaf-wise
+    # relative L2 error — element-wise comparison is meaningless for
+    # near-zero components under fp32 reduction-order noise.
+    from dir_tpu.models.losses import dir_losses, total_loss
+
+    def loss_fn(params, bat):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            bat["img"], left, right, train=True, mutable=["batch_stats"])
+        ld = dir_losses(out, bat, cfg.model, left.faces, right.faces,
+                        fused_stages=True)
+        return total_loss(ld)
+
+    grads1 = jax.jit(jax.grad(loss_fn))(variables["params"], jbatch)
+    with mesh:
+        from dir_tpu.parallel.mesh import batch_sharding, \
+            replicated_sharding
+        grads8 = jax.jit(
+            jax.grad(loss_fn),
+            in_shardings=(replicated_sharding(mesh), batch_sharding(mesh)),
+            out_shardings=replicated_sharding(mesh),
+        )(variables["params"], sbatch)
+
+    gmax = max(float(jnp.max(jnp.abs(g))) for g in jax.tree.leaves(grads1))
+
+    def check_grad(path, a, b_):
+        a = np.asarray(a, np.float64)
+        b_ = np.asarray(b_, np.float64)
+        assert np.all(np.isfinite(a)) and np.all(np.isfinite(b_)), \
+            f"non-finite gradient at {jax.tree_util.keystr(path)}"
+        # Leaves whose true gradient is ~0 (e.g. a conv bias feeding a
+        # BatchNorm: the mean subtraction cancels it exactly) are pure
+        # cancellation residue — relative error there is meaningless;
+        # bound them absolutely against the global gradient scale.
+        if np.abs(a).max() < 1e-5 * gmax:
+            assert np.abs(a - b_).max() < 1e-5 * gmax, \
+                f"near-zero-grad leaf diverges at {jax.tree_util.keystr(path)}"
+            return
+        rel = np.linalg.norm(a - b_) / (np.linalg.norm(a) + 1e-12)
+        # 5e-3: BN bias/scale grads sum ~mean-zero contributions, so
+        # reduction-order noise is amplified by the cancellation factor
+        # (measured up to 1.6e-3 on this leaf set). A real DP bug is
+        # orders larger — e.g. a missing gradient all-reduce leaves
+        # each replica with 1/8 of the sum, rel-err ~0.9.
+        assert rel < 5e-3, \
+            f"grad rel-err {rel:.2e} at {jax.tree_util.keystr(path)}"
+
+    jax.tree_util.tree_map_with_path(check_grad, grads1, grads8)
+
+    # Post-AdamW params: bounded by the 2*lr step-1 mechanism + finite.
+    adam_atol = 2.1 * float(cfg.train.lr)
+
+    def check_param(a, b_):
+        diff = np.abs(np.asarray(a, np.float64) - np.asarray(b_, np.float64))
+        assert np.all(np.isfinite(diff)), "non-finite params after step"
+        assert diff.max() <= adam_atol, \
+            f"param diff {diff.max()} exceeds the 2*lr Adam bound"
+
+    jax.tree.map(check_param, state1.params, state8.params)
+    # BN stats: global-batch means/vars; atol covers fp32 reduction
+    # order on the cross-replica sums (measured diffs up to ~1.2e-5).
     jax.tree.map(
         lambda a, b_: np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b_), rtol=2e-3, atol=2e-5),
-        state1.params, state8.params)
-    jax.tree.map(
-        lambda a, b_: np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=1e-5),
+            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=5e-5),
         state1.batch_stats, state8.batch_stats)
 
 

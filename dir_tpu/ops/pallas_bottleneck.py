@@ -23,15 +23,20 @@ in VMEM — M=64 channel blocks would otherwise waste 3/4 of the MXU.
 Negative results from this kernel's tuning (kept so they aren't re-run):
   * 32x32x512 (layer2) blocks: Mosaic compile does not terminate
     (>10 min) for the same kernel at that shape — layer2 stays on XLA.
-  * A stem variant folding bn1 + relu + maxpool3x3/2 + layer1_0 into
-    one kernel (boundary at the raw stem-conv output) was built and
-    verified in interpret mode, but the (128, 128, 64) per-sample
-    working set OOMs the 16 MB VMEM stack (26.5 MB scoped): C=64
-    operands pad to 128 lanes, doubling every buffer. A 64-channel
-    kernel boundary also forces XLA into a 268 MB relayout copy + an
-    unfused reduce-window upstream, which is why blocks with <128
-    input channels (layer1_0) stay on XLA entirely — see the guard in
-    models/resnet.py Bottleneck.__call__.
+  * A 64-channel kernel boundary forces XLA into a 268 MB relayout
+    copy + an unfused reduce-window upstream (half-empty 128-lane
+    default layout), which is why blocks with <128 input channels
+    (layer1_0) stay on XLA — see the guard in models/resnet.py
+    Bottleneck.__call__.
+  * ``fused_stem_bottleneck`` below (bn1 + relu + maxpool + layer1_0
+    off the raw stem-conv output, paired-W lane-full layout, banded
+    VMEM scheduling) is a WORKING, tested kernel — but an exploration,
+    NOT wired into the model: it measures 7.0 ms at batch 256 vs
+    ~5.3 ms for the same segment inside the XLA model (the pool's
+    half-lane slices relayout in VMEM, and the in-model version would
+    additionally pay the 64-channel boundary copy above). Kept as the
+    reference for banded VMEM scheduling + the paired-W maxpool
+    formulation; delete if a future Mosaic handles half-lane slices.
 """
 
 from __future__ import annotations
@@ -100,6 +105,85 @@ def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     out_ref[0] = out.astype(out_ref.dtype).reshape(h, w, -1)
 
 
+def _stem_kernel(x_ref, g1_ref, t1_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                 w3_ref, b3_ref, wd_ref, bd_ref, out_ref, *, h: int,
+                 w: int, c: int, mid: int):
+    """BN + ReLU + maxpool(3x3/2, pad 1) + the projection bottleneck
+    (layer1_0), one sample per program, input in PAIRED-W layout:
+    x_ref block (1, 2H, W, 2C) where [..., :C] is the even W pixel of
+    the pair and [..., C:] the odd one (a free contiguous reshape of
+    (2H, 2W, C) done in XLA). Every in-kernel op is Mosaic-friendly:
+    full 2C=128 lanes (no half-lane padding -> no VMEM blowup), H
+    downsample = major-axis reshape-split, W downsample = minor-axis
+    slices of the pair dim. Zero padding is exact for the pool
+    (post-ReLU values are nonnegative; each window has a real pixel).
+    """
+    x = x_ref[0]                                   # (2H, W, 2C)
+    gg = jnp.concatenate([g1_ref[...], g1_ref[...]]).astype(x.dtype)
+    tt = jnp.concatenate([t1_ref[...], t1_ref[...]]).astype(x.dtype)
+
+    # Pool band-by-band (static unroll): the full-resolution
+    # affine/relu/rowmax chain would hold ~6 MB of (2H, W, 2C)
+    # temporaries live at once and overflow the 16 MB VMEM stack
+    # together with the pipeline buffers; per band the working set is
+    # ~1 MB. Band edges get static zero padding (exact post-ReLU).
+    n_bands = 4
+    bh = h // n_bands                               # pooled rows/band
+    pooled_bands = []
+    for j in range(n_bands):
+        r0 = 2 * bh * j                             # first input row
+        lo = max(0, r0 - 1)
+        hi = min(2 * h, r0 + 2 * bh + 1)
+        seg = jnp.maximum(x[lo:hi] * gg + tt, 0.0)  # (rows, W, 2C)
+        pad_top = lo - (r0 - 1)
+        pad_bot = (r0 + 2 * bh + 1) - hi
+        seg = jnp.pad(seg, ((pad_top, pad_bot), (0, 0), (0, 0)))
+        rm = jnp.maximum(jnp.maximum(seg[: 2 * bh], seg[1:2 * bh + 1]),
+                         seg[2:2 * bh + 2])         # (2*bh, W, 2C)
+        r = rm.reshape(bh, 2, w, 2 * c)[:, 0]       # (bh, W, 2C)
+        # W window {2j-1, 2j, 2j+1} = odd(j-1), even(j), odd(j). The
+        # previous-pair shift pads the FULL 2C tensor and slices after
+        # — padding a lane-offset slice is an unsupported layout op in
+        # Mosaic ("offset mismatch on non-concat dimension").
+        r_shift = jnp.pad(r, ((0, 0), (1, 0), (0, 0)))[:, :w]
+        pooled_bands.append(jnp.maximum(
+            jnp.maximum(r[:, :, :c], r[:, :, c:]), r_shift[:, :, c:]))
+    pooled = jnp.concatenate(pooled_bands, axis=0)  # (H, W, C)
+
+    f32 = jnp.float32
+    # conv1 over the whole pooled map (small). The 3x3 runs as K=9*mid
+    # windows-concat matmuls over TWO H-halves (M=HW/2) — nine
+    # accumulated K=mid matmuls per band measured latency-bound (36
+    # sub-1us dispatches), while a single full-size concat overflows
+    # VMEM together with the pipeline buffers. conv3 + residual write
+    # out_ref band-by-band so the (HW, O) tails never exist whole.
+    xf = pooled.reshape(h * w, c)
+    y1 = jnp.dot(xf, w1_ref[...], preferred_element_type=f32)
+    y1 = jnp.maximum(y1 + b1_ref[...], 0.0).astype(x.dtype)
+    y1p = jnp.pad(y1.reshape(h, w, mid), ((1, 1), (1, 1), (0, 0)))
+    hh = h // 2
+    y2_parts = []
+    for j in range(2):
+        seg = y1p[hh * j:hh * j + hh + 2]           # (hh+2, W+2, mid)
+        cols = [seg[dy:dy + hh, dx:dx + w].reshape(hh * w, mid)
+                for dy in range(3) for dx in range(3)]
+        ycat = jnp.concatenate(cols, axis=-1)       # (hh*W, 9*mid)
+        acc = jnp.dot(ycat, w2_ref[...], preferred_element_type=f32)
+        y2_parts.append(jnp.maximum(acc + b2_ref[...], 0.0).astype(
+            x.dtype))
+    y2 = jnp.concatenate(y2_parts, axis=0)          # (HW, mid)
+    for j in range(n_bands):
+        y2b = y2[bh * w * j:bh * w * (j + 1)]
+        y3 = (jnp.dot(y2b, w3_ref[...], preferred_element_type=f32)
+              + b3_ref[...]).astype(x.dtype)
+        xb = pooled[bh * j:bh * (j + 1)].reshape(bh * w, c)
+        res = (jnp.dot(xb, wd_ref[...], preferred_element_type=f32)
+               + bd_ref[...]).astype(x.dtype)
+        band = jnp.maximum(y3 + res, 0.0)
+        out_ref[0, bh * j:bh * (j + 1)] = band.astype(
+            out_ref.dtype).reshape(bh, w, -1)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_bottleneck_infer(x: jnp.ndarray,
                            w1: jnp.ndarray, b1: jnp.ndarray,
@@ -159,3 +243,62 @@ def fused_bottleneck_infer(x: jnp.ndarray,
         interpret=interpret,
     )(x, w1c, b1.astype(jnp.float32), w2c, b2.astype(jnp.float32),
       w3c, b3.astype(jnp.float32), wdc, bd.astype(jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_stem_bottleneck(x: jnp.ndarray,
+                          g1: jnp.ndarray, t1: jnp.ndarray,
+                          w1: jnp.ndarray, b1: jnp.ndarray,
+                          w2: jnp.ndarray, b2: jnp.ndarray,
+                          w3: jnp.ndarray, b3: jnp.ndarray,
+                          wd: jnp.ndarray, bd: jnp.ndarray,
+                          interpret: bool = False) -> jnp.ndarray:
+    """stem BN + ReLU + maxpool(3x3/2, pad 1) + the projection
+    bottleneck (layer1_0) in ONE kernel, fed by the RAW stem-conv
+    output. Keeping the Pallas boundary at the stem conv matters: a
+    boundary at the pool output costs a 268 MB relayout copy + an
+    unfused reduce-window in XLA (measured ~5 ms at batch 256).
+
+    Args:
+        x: (B, 2H, 2W, C) raw stem conv output (C=64; bf16 recommended).
+        g1, t1: (C,) inference-BN affine (g = scale/sqrt(var+eps),
+            t = bias - mean*g).
+        w1 (C, M), b1 (M,), w2 (3, 3, M, M), b2 (M,), w3 (M, O), b3 (O,):
+            folded bottleneck weights; wd (C, O), bd (O,): folded
+            projection for the residual.
+    Returns:
+        (B, H, W, O), dtype of x.
+    """
+    b, h2, w2_, c = x.shape
+    h, w = h2 // 2, w2_ // 2
+    mid = w1.shape[-1]
+    o = w3.shape[-1]
+    dt = x.dtype
+    # paired-W layout: (2H, 2W, C) -> (2H, W, 2C), contiguous (free)
+    xp = x.reshape(b, h2, w, 2 * c)
+    kernel = functools.partial(_stem_kernel, h=h, w=w, c=c, mid=mid)
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    flops = 2 * h * w * (c * mid + 9 * mid * mid + mid * o + c * o)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h2, w, 2 * c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            wspec, wspec, wspec, wspec, wspec, wspec, wspec, wspec,
+            wspec, wspec,
+        ],
+        out_specs=pl.BlockSpec((1, h, w, o), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, o), dt),
+        cost_estimate=pl.CostEstimate(
+            flops=b * flops,
+            bytes_accessed=b * h * w * (4 * c + o) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, g1.astype(jnp.float32), t1.astype(jnp.float32),
+      w1.astype(dt), b1.astype(jnp.float32),
+      w2.reshape(9 * mid, mid).astype(dt), b2.astype(jnp.float32),
+      w3.astype(dt), b3.astype(jnp.float32),
+      wd.astype(dt), bd.astype(jnp.float32))

@@ -115,3 +115,38 @@ def test_backbone_fused_eval_matches_unfused():
     for r, o in zip(ref, out):
         np.testing.assert_allclose(np.asarray(o), np.asarray(r),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_fused_stem_bottleneck_matches_flax():
+    """stem kernel == BN-affine + relu + max_pool + Bottleneck(proj)
+    (fp32, interpret mode)."""
+    import flax.linen as nn
+
+    from dir_tpu.ops.pallas_bottleneck import fused_stem_bottleneck
+
+    rng = np.random.RandomState(4)
+    c, mid, o = 32, 8, 32
+    block = Bottleneck(mid, stride=1, downsample=True,
+                       expansion=o // mid)
+    x = jnp.asarray(rng.randn(2, 16, 16, c).astype(np.float32))
+    g1 = jnp.asarray(rng.uniform(0.5, 1.5, c).astype(np.float32))
+    t1 = jnp.asarray(rng.uniform(-0.5, 0.5, c).astype(np.float32))
+
+    pooled_ref = nn.max_pool(jax.nn.relu(x * g1 + t1), (3, 3),
+                             strides=(2, 2), padding=((1, 1), (1, 1)))
+    variables = block.init(jax.random.PRNGKey(0), pooled_ref)
+    variables = _rand_variables(np.random.RandomState(5), variables)
+    ref = block.apply(variables, pooled_ref, train=False)
+
+    (w1, b1), (w2, b2), (w3, b3) = _fold_from_variables(variables)
+    wd, bd = fold_bn(variables["params"]["down_conv"]["kernel"],
+                     variables["params"]["down_bn"]["scale"],
+                     variables["params"]["down_bn"]["bias"],
+                     variables["batch_stats"]["down_bn"]["mean"],
+                     variables["batch_stats"]["down_bn"]["var"])
+    out = fused_stem_bottleneck(x, g1, t1, w1[0, 0], b1, w2, b2,
+                                w3[0, 0], b3, wd[0, 0], bd,
+                                interpret=True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

@@ -65,15 +65,24 @@ class Trainer:
             self.preprocess_train = make_preprocess_fn(
                 self.mano_left, self.mano_right, img_size=c.data.img_size,
                 train=True)
+            # eval path too: host does JPEG decode only, GT synthesis +
+            # normalization run on device (train=False: no augmentation)
+            self.test_ds = RawInterHandDataset(
+                c.data.data_dir, "test", img_size=c.data.img_size)
+            self.preprocess_test = make_preprocess_fn(
+                self.mano_left, self.mano_right, img_size=c.data.img_size,
+                train=False)
             self._aug_key = jax.random.PRNGKey(c.train.seed)
         else:
             self.train_ds = InterHandDataset(
                 c.data.data_dir, "train", self.mano_left, self.mano_right,
                 img_size=c.data.img_size, seed=c.train.seed)
             self.preprocess_train = None
-        self.test_ds = InterHandDataset(
-            c.data.data_dir, "test", self.mano_left, self.mano_right,
-            img_size=c.data.img_size, augment_train=False)
+            self.preprocess_test = None
+        if self.preprocess_test is None:
+            self.test_ds = InterHandDataset(
+                c.data.data_dir, "test", self.mano_left, self.mano_right,
+                img_size=c.data.img_size, augment_train=False)
         self.train_loader = BatchLoader(
             self.train_ds, c.train.batch_size, shuffle=True, drop_last=True,
             num_threads=c.data.num_workers, seed=c.train.seed)
@@ -207,6 +216,14 @@ class Trainer:
         accs = [dict() for _ in range(num_stages)]
         with self.mesh:
             for batch in self.test_loader:
+                if self.preprocess_test is not None:
+                    raw = shard_batch(
+                        {k: v for k, v in batch.items() if k != "_valid"},
+                        self.mesh)
+                    proc = self.preprocess_test(
+                        raw, jax.random.PRNGKey(0))  # key unused at eval
+                    proc["_valid"] = batch["_valid"]
+                    batch = proc
                 img = shard_batch(batch["img"], self.mesh)
                 out = self.eval_step(variables, img)
                 stages = out["stages"][-num_stages:]

@@ -45,6 +45,12 @@ def main():
                          "bf16-trunk numerics)")
     opt = ap.parse_args()
 
+    if opt.fused_bottleneck and opt.dtype != "bfloat16":
+        # The kernel's fp32 VMEM temporaries overflow the 16 MB budget at
+        # the production 64x64x256 shape (ops/pallas_bottleneck.py) —
+        # the flag is only supported on the bf16 trunk.
+        ap.error("--fused_bottleneck requires --dtype bfloat16")
+
     import jax
     import jax.numpy as jnp
 

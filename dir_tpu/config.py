@@ -105,6 +105,10 @@ class DataConfig:
     # synthesis + augmentation + normalization run as one jitted XLA
     # program per batch (dir_tpu.data.device_pipeline).
     device_pipeline: bool = False
+    # Host-path warp backend: False = cv2 (SIMD, measured ~2x faster),
+    # True = native/imageops.cpp (same constant-border semantics within
+    # 1 u8 LSB; tools/bench_input_pipeline.py has the numbers).
+    native_warp: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

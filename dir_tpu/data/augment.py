@@ -74,12 +74,23 @@ def flip_images_labels(imgs: List[np.ndarray],
 def affine_3d(theta: float, scale: float, u: float, v: float,
               camera: np.ndarray, imgs: List[np.ndarray],
               labels2d: List[np.ndarray], depths: List[np.ndarray],
-              img_size: int):
+              img_size: int, use_native: bool = False):
     """Affine-warp images + 2D labels, re-lift 3D through the intrinsics
-    keeping depths fixed (utils/utils.py:405-441)."""
+    keeping depths fixed (utils/utils.py:405-441).
+
+    use_native routes the warp through native/imageops.cpp (constant
+    border, same as cv2's default here; parity within 1 u8 LSB —
+    tests/test_native.py). cv2 stays the default: its SIMD warp measured
+    ~2x the native scalar loop (tools/bench_input_pipeline.py)."""
     m = get_affine_mat(theta, scale, u, v, img_size)
-    out_imgs = [cv.warpAffine(img, m[:2], dsize=(img_size, img_size))
-                for img in imgs]
+    if use_native:
+        from dir_tpu.data import native
+        out_imgs = [native.affine_warp(img, m[:2], img_size,
+                                       border="constant")
+                    for img in imgs]
+    else:
+        out_imgs = [cv.warpAffine(img, m[:2], dsize=(img_size, img_size))
+                    for img in imgs]
     out_2d, out_3d = [], []
     fx, fy = camera[0, 0], camera[1, 1]
     fu, fv = camera[0, 2], camera[1, 2]

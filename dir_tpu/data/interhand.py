@@ -37,28 +37,31 @@ class InterHandDataset:
     def __init__(self, data_path: str, split: str,
                  mano_left: ManoModel, mano_right: ManoModel,
                  img_size: int = 256, augment_train: bool = True,
-                 seed: int = 25):
+                 seed: int = 25, native_warp: bool = False):
         assert split in ("train", "test", "val")
         self.data_path = data_path
         self.split = split
         self.img_size = img_size
         self.augment_train = augment_train and split == "train"
+        # Route the aug warp through native/imageops.cpp instead of cv2
+        # (same constant-border semantics; see augment.affine_3d).
+        self.native_warp = native_warp
         self.mano = {"left": NumpyMano(mano_left),
                      "right": NumpyMano(mano_right)}
         self.size = len(glob(osp.join(data_path, split, "anno", "*.pkl")))
         self._seed = seed
-        self._epoch_counts = {}
-        import threading
-        self._lock = threading.Lock()
+        # Set by BatchLoader at the start of each epoch (and restored on
+        # resume) — augmentation is a pure function of (seed, idx, epoch),
+        # so an interrupted run replays the exact same aug stream.
+        self.epoch = 0
 
     def _sample_rng(self, idx: int) -> np.random.RandomState:
-        """Deterministic per-(seed, idx, visit) RNG — stable under
-        threaded loading, varying across epochs."""
-        with self._lock:
-            visit = self._epoch_counts.get(idx, 0)
-            self._epoch_counts[idx] = visit + 1
+        """Deterministic per-(seed, idx, epoch) RNG — thread-safe (no
+        shared mutable state), varying across epochs, reproducible under
+        checkpoint resume."""
         return np.random.RandomState(
-            (self._seed * 1000003 + idx * 7919 + visit) % (2 ** 31))
+            (self._seed * 1000003 + idx * 7919 + self.epoch * 104729)
+            % (2 ** 31))
 
     def __len__(self) -> int:
         return self.size
@@ -116,7 +119,8 @@ class InterHandDataset:
             imgs, l2d, l3d = augment.affine_3d(
                 rot, scale, tx, ty, camera, [img, mask, dense],
                 [j2l, j2r, v2l, v2r],
-                [jl[:, 2:], jr[:, 2:], vl[:, 2:], vr[:, 2:]], S)
+                [jl[:, 2:], jr[:, 2:], vl[:, 2:], vr[:, 2:]], S,
+                use_native=self.native_warp)
             img, mask, dense = imgs
             j2l, j2r, v2l, v2r = l2d
             jl, jr, vl, vr = l3d

@@ -48,6 +48,13 @@ class BatchLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the epoch counter (shuffle order seed + dataset aug
+        stream) — called by the trainer each epoch so a resumed run
+        replays the identical schedule (reference restores last_epoch,
+        train.py:127-135)."""
+        self._epoch = epoch
+
     def _index_batches(self):
         n = len(self.dataset)
         idx = np.arange(n)
@@ -70,6 +77,8 @@ class BatchLoader:
         return batches
 
     def __iter__(self) -> Iterator:
+        if hasattr(self.dataset, "epoch"):
+            self.dataset.epoch = self._epoch
         batches = self._index_batches()
         self._epoch += 1
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)

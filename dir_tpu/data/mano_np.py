@@ -54,10 +54,17 @@ class NumpyMano:
         inv = np.linalg.inv(self.hands_components)
         return (axis - self.hands_mean) @ inv
 
+    # new_skel knuckle remap: joints 5/9/13/17 (index/middle/ring/pinky
+    # MCP) replaced by surface-vertex midpoints (models/manolayer.py:
+    # 317-321). An unused-by-DIR constructor option of the data-side
+    # MANO, kept for API completeness.
+    NEW_SKEL = ((5, 63, 144), (9, 271, 220), (13, 148, 290), (17, 770, 83))
+
     def __call__(self, root_rot: np.ndarray, pose: np.ndarray,
                  shape: np.ndarray, trans: np.ndarray | None = None,
                  scale: np.ndarray | None = None,
-                 center_idx: int | None = None, use_pca: bool = True):
+                 center_idx: int | None = None, use_pca: bool = True,
+                 new_skel: bool = False):
         """root_rot (B,3,3); pose (B,ncomps)|(B,15,3,3); shape (B,10)."""
         b = root_rot.shape[0]
         local = self.pca_to_rotmats(pose) if use_pca else pose
@@ -103,4 +110,7 @@ class NumpyMano:
         if trans is not None:
             verts = verts + trans[:, None, :]
             joints = joints + trans[:, None, :]
+        if new_skel:
+            for j, va, vb in self.NEW_SKEL:
+                joints[:, j] = (verts[:, va] + verts[:, vb]) / 2
         return verts.astype(np.float32), joints.astype(np.float32)

@@ -41,7 +41,8 @@ def _try_load():
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     lib.affine_warp_u8.argtypes = [u8p, ctypes.c_int, ctypes.c_int,
-                                   u8p, ctypes.c_int, ctypes.c_int, f32p]
+                                   u8p, ctypes.c_int, ctypes.c_int, f32p,
+                                   ctypes.c_int]
     lib.normalize_bgr_u8.argtypes = [u8p, ctypes.c_int, ctypes.c_int,
                                      f32p, f32p, f32p]
     lib.seg_from_mask_u8.argtypes = [u8p, ctypes.c_int, ctypes.c_int,
@@ -54,20 +55,28 @@ def available() -> bool:
     return _try_load() is not None
 
 
-def affine_warp(img: np.ndarray, m2x3: np.ndarray,
-                out_size: int) -> np.ndarray:
-    """Bilinear, border-replicate affine warp (native or cv2)."""
+def affine_warp(img: np.ndarray, m2x3: np.ndarray, out_size: int,
+                border: str = "constant") -> np.ndarray:
+    """Bilinear affine warp, bit-identical to cv2.warpAffine's
+    fixed-point INTER_LINEAR path (native or cv2).
+
+    border="constant" (zero fill) matches the production augmentation
+    (reference data_augmentation_3D, utils/utils.py:405-441, which uses
+    cv2's default border); "replicate" matches the reference's other,
+    unused warp (utils/utils.py:357-364)."""
     lib = _try_load()
     if lib is None:
         import cv2 as cv
+        mode = (cv.BORDER_REPLICATE if border == "replicate"
+                else cv.BORDER_CONSTANT)
         return cv.warpAffine(img, m2x3, dsize=(out_size, out_size),
-                             flags=cv.INTER_LINEAR,
-                             borderMode=cv.BORDER_REPLICATE)
+                             flags=cv.INTER_LINEAR, borderMode=mode)
     img = np.ascontiguousarray(img, np.uint8)
     out = np.empty((out_size, out_size, 3), np.uint8)
     lib.affine_warp_u8(img, img.shape[0], img.shape[1], out, out_size,
                        out_size,
-                       np.ascontiguousarray(m2x3, np.float32))
+                       np.ascontiguousarray(m2x3, np.float32),
+                       1 if border == "replicate" else 0)
     return out
 
 

@@ -25,17 +25,22 @@ HAND_EDGES = (
 )
 
 
-def hand_adjacency(num_joints: int = 21) -> np.ndarray:
+def adjacency_from_edges(num_nodes: int, edges) -> np.ndarray:
     """Symmetric binary one-hop adjacency (no self loops).
 
     The reference row-normalizes (SemGCN/utils.py:27-43) but PGraphConv
     only consumes the nonzero mask, so the binary matrix is equivalent.
     """
-    adj = np.zeros((num_joints, num_joints), np.float32)
-    for i, j in HAND_EDGES:
+    adj = np.zeros((num_nodes, num_nodes), np.float32)
+    for i, j in edges:
         adj[i, j] = 1.0
         adj[j, i] = 1.0
     return adj
+
+
+def hand_adjacency(num_joints: int = 21) -> np.ndarray:
+    """Adjacency of the 21-joint skeleton (SemGCN/utils.py:66-71)."""
+    return adjacency_from_edges(num_joints, HAND_EDGES)
 
 
 class PGraphConv(nn.Module):
@@ -180,6 +185,47 @@ class SimplePGCN(nn.Module):
                                name=f"layer{i}")(x, train)
         return GraphConvBlock(self.out_dim, adj, dtype=self.dtype,
                               name="gconv_out")(x, train)
+
+
+class SimplePoolGCN(nn.Module):
+    """Hierarchically-pooling GCN encoder (SemGCN/p_gcn.py:76-128):
+    graph conv at 21 nodes -> mean-pool to 11 -> conv -> pool to 6 ->
+    conv -> pool to 1 -> Linear head. Unused by DIR (the reference never
+    instantiates it) — provided for component-library parity.
+
+    The reference's per-group AdaptiveAvgPool loop becomes one matmul
+    with a row-normalized pooling matrix per level (MXU-shaped, no
+    dynamic slicing)."""
+
+    hid_dims: tuple = (64, 64, 64)
+    out_dim: int = 64
+    dtype: object = jnp.float32
+
+    @staticmethod
+    def pool_matrix(node_map) -> np.ndarray:
+        """Row-normalized (M, N) one-hot pooling matrix: mat @ x == the
+        reference's per-group mean pool (p_gcn.py:105-113, 119-127)."""
+        n = max(max(g) for g in node_map) + 1
+        mat = np.zeros((len(node_map), n), np.float32)
+        for i, group in enumerate(node_map):
+            mat[i, list(group)] = 1.0 / len(group)
+        return mat
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        sketches = get_hierarchy_sketch()
+        maps = get_hierarchy_mapping()
+        sizes = (21, 11, 6)
+        for i, hd in enumerate(self.hid_dims):
+            adj = tuple(map(tuple, adjacency_from_edges(sizes[i],
+                                                        sketches[i])))
+            x = GraphConvBlock(hd, adj, dtype=self.dtype,
+                               name=f"gconv{i}")(x, train)
+            x = jnp.einsum("mn,bnc->bmc",
+                           jnp.asarray(self.pool_matrix(maps[i]),
+                                       self.dtype), x)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc")(x)
+        return x[:, 0]
 
 
 class ResSimplePGCN(nn.Module):

@@ -271,6 +271,11 @@ def fused_stem_bottleneck(x: jnp.ndarray,
     """
     b, h2, w2_, c = x.shape
     h, w = h2 // 2, w2_ // 2
+    # _stem_kernel schedules n_bands=4 row bands of the pooled output and
+    # pairs input rows two-at-a-time; non-divisible heights would drop
+    # rows silently.
+    assert h % 4 == 0 and h2 % 2 == 0 and w2_ % 2 == 0, (
+        f"fused_stem_bottleneck needs pooled h % 4 == 0, got input {x.shape}")
     mid = w1.shape[-1]
     o = w3.shape[-1]
     dt = x.dtype

@@ -55,6 +55,19 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a pytree of host arrays onto the mesh, batch-axis sharded."""
+    """Place a pytree of host arrays onto the mesh, batch-axis sharded.
+
+    Single-process: a plain sharded device_put. Multi-process (after
+    :func:`init_distributed`): every process passes the same GLOBAL
+    batch and contributes only its addressable shards via
+    ``make_array_from_callback`` — device_put cannot target another
+    process's devices. Covered by tests/test_distributed.py (2-process
+    CPU mesh)."""
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        def put(x):
+            x = np.asarray(x)
+            return jax.make_array_from_callback(
+                x.shape, sharding, lambda idx: x[idx])
+        return jax.tree.map(put, batch)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

@@ -45,6 +45,27 @@ def restore_checkpoint(ckpt_dir: str, target, name: str = "latest"):
     return ckptr.restore(path, target)
 
 
+def save_meta(ckpt_dir: str, meta: dict) -> None:
+    """Persist the loop state the TrainState pytree doesn't carry:
+    next epoch, best metric, aug PRNG key (the reference saves
+    last_epoch + schedule alongside the net, train.py:137-149)."""
+    import json
+    os.makedirs(ckpt_dir, exist_ok=True)
+    tmp = os.path.join(ckpt_dir, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(ckpt_dir, "meta.json"))
+
+
+def load_meta(ckpt_dir: str) -> dict:
+    import json
+    path = os.path.join(ckpt_dir, "meta.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
 # ---------------------------------------------------------------------------
 # mapping table
 # ---------------------------------------------------------------------------
@@ -163,6 +184,45 @@ def _entries_gcn(tpre, fpre, num_layers=4):
             Entry(f"{g}.gconv.bias", f + ("gconv", "bias"), "raw", "params"),
         ]
         out += _entries_bn(f"{g}.bn", f + ("bn",))
+    return out
+
+
+def _entries_gcn_block(tpre, fpre):
+    """One _GraphConv (SemGCN/p_gcn.py:7-27): PGraphConv + BN1d."""
+    return [
+        Entry(f"{tpre}.gconv.W", fpre + ("gconv", "w"), "raw", "params"),
+        Entry(f"{tpre}.gconv.e_0", fpre + ("gconv", "e0"), "squeeze0",
+              "params"),
+        Entry(f"{tpre}.gconv.e_1", fpre + ("gconv", "e1"), "squeeze0",
+              "params"),
+        Entry(f"{tpre}.gconv.bias", fpre + ("gconv", "bias"), "raw",
+              "params"),
+    ] + _entries_bn(f"{tpre}.bn", fpre + ("bn",))
+
+
+def _entries_pool_gcn(tpre, fpre):
+    """SimplePoolGCN (SemGCN/p_gcn.py:76-128)."""
+    out = []
+    for i in range(3):
+        out += _entries_gcn_block(f"{tpre}.gconv_layers_in_{i}",
+                                  fpre + (f"gconv{i}",))
+    out += _entries_dense(f"{tpre}.fc", fpre + ("fc",))
+    return out
+
+
+def _entries_hourglass(tpre, fpre, depth):
+    """Recursive Hourglass (models/backbone/hourglass.py:73-97). torch
+    Residuals always construct skip_layer; prune_to_target drops the
+    unused ones on import."""
+    out = []
+    out += _entries_residual(f"{tpre}.up1", fpre + ("up1",))
+    out += _entries_residual(f"{tpre}.low1", fpre + ("low1",))
+    if depth > 1:
+        out += _entries_hourglass(f"{tpre}.low2", fpre + ("low2",),
+                                  depth - 1)
+    else:
+        out += _entries_residual(f"{tpre}.low2", fpre + ("low2",))
+    out += _entries_residual(f"{tpre}.low3", fpre + ("low3",))
     return out
 
 

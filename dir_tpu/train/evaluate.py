@@ -7,10 +7,12 @@ Ports the metric math of apps/eval.py exactly:
   * Predictions root-centered at ``root_joint`` and scaled by the
     GT/pred joint9-joint0 bone-length ratio (eval.py:176-190).
   * 3D errors in mm, 2D pixel errors through the camera, inter-hand root
-    offset error (eval.py:192-241). NOTE: the reference's "2D" errors
-    norm over the full xyz2uvd triple (u px, v px, depth m) — see
-    eval.py:213-232 with xyz2uvd at utils/utils.py:179-184 — so the
-    depth residual is included here too.
+    offset error (eval.py:192-241). NOTE: apps/eval.py defines its OWN
+    ``xyz2uvd`` (eval.py:81-84) returning only (u, v) — it shadows the
+    3-component utils/utils.py:179 version — so the 2D errors norm over
+    the 2 pixel components only. Verified against the reference's own
+    executable metric block in
+    tests/test_reference_oracle_data.py::test_ref_eval_metric_block.
 
 The per-batch computation is one jitted function with a validity mask so
 the final partial batch can be padded (static shapes, no recompiles —
@@ -27,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dir_tpu.mano.assets import ManoModel
-from dir_tpu.ops.projection import xyz_to_uvd
+from dir_tpu.ops.projection import xyz_to_uv
 
 
 def extended_j_regressor(model: ManoModel) -> jnp.ndarray:
@@ -67,10 +69,10 @@ def batch_errors(pred_verts_left: jnp.ndarray,
     rj = root_joint
     gt_j_l = reg(jreg_left, gt_verts_left)
     gt_j_r = reg(jreg_right, gt_verts_right)
-    gt_j2_l = xyz_to_uvd(gt_j_l, camera)
-    gt_j2_r = xyz_to_uvd(gt_j_r, camera)
-    gt_v2_l = xyz_to_uvd(gt_verts_left, camera)
-    gt_v2_r = xyz_to_uvd(gt_verts_right, camera)
+    gt_j2_l = xyz_to_uv(gt_j_l, camera)
+    gt_j2_r = xyz_to_uv(gt_j_r, camera)
+    gt_v2_l = xyz_to_uv(gt_verts_left, camera)
+    gt_v2_r = xyz_to_uv(gt_verts_right, camera)
 
     gt_offset = gt_j_r[:, rj:rj + 1] - gt_j_l[:, rj:rj + 1]
     root_l_gt = gt_j_l[:, rj:rj + 1]
@@ -112,13 +114,13 @@ def batch_errors(pred_verts_left: jnp.ndarray,
         "joint_right": err(jr, gjr),
         "vert_left": err(vl, gvl),
         "vert_right": err(vr, gvr),
-        "joint2d_left": err(xyz_to_uvd(jl + root_l_gt, camera),
+        "joint2d_left": err(xyz_to_uv(jl + root_l_gt, camera),
                             gt_j2_l),
-        "joint2d_right": err(xyz_to_uvd(jr + root_r_gt, camera),
+        "joint2d_right": err(xyz_to_uv(jr + root_r_gt, camera),
                              gt_j2_r),
-        "vert2d_left": err(xyz_to_uvd(vl + root_l_gt, camera),
+        "vert2d_left": err(xyz_to_uv(vl + root_l_gt, camera),
                            gt_v2_l),
-        "vert2d_right": err(xyz_to_uvd(vr + root_r_gt, camera),
+        "vert2d_right": err(xyz_to_uv(vr + root_r_gt, camera),
                             gt_v2_r),
         "root": jnp.linalg.norm(gt_offset - rel_pred, axis=-1)[:, 0],
         "joints_xyz_left": jl,
@@ -155,10 +157,10 @@ def batch_metrics(pred_verts_left: jnp.ndarray,
 
     gt_j_l = reg(jreg_left, gt_verts_left)
     gt_j_r = reg(jreg_right, gt_verts_right)
-    gt_j2_l = xyz_to_uvd(gt_j_l, camera)
-    gt_j2_r = xyz_to_uvd(gt_j_r, camera)
-    gt_v2_l = xyz_to_uvd(gt_verts_left, camera)
-    gt_v2_r = xyz_to_uvd(gt_verts_right, camera)
+    gt_j2_l = xyz_to_uv(gt_j_l, camera)
+    gt_j2_r = xyz_to_uv(gt_j_r, camera)
+    gt_v2_l = xyz_to_uv(gt_verts_left, camera)
+    gt_v2_r = xyz_to_uv(gt_verts_right, camera)
 
     rj = root_joint
     gt_offset = gt_j_r[:, rj:rj + 1] - gt_j_l[:, rj:rj + 1]
@@ -201,13 +203,13 @@ def batch_metrics(pred_verts_left: jnp.ndarray,
     # 2D pixel errors: re-anchor predictions at the GT root
     # (apps/eval.py:212-215).
     out["joint2d_left_sum_px"] = mean_err(
-        xyz_to_uvd(jl + root_l_gt, camera), gt_j2_l)
+        xyz_to_uv(jl + root_l_gt, camera), gt_j2_l)
     out["joint2d_right_sum_px"] = mean_err(
-        xyz_to_uvd(jr + root_r_gt, camera), gt_j2_r)
+        xyz_to_uv(jr + root_r_gt, camera), gt_j2_r)
     out["vert2d_left_sum_px"] = mean_err(
-        xyz_to_uvd(vl + root_l_gt, camera), gt_v2_l)
+        xyz_to_uv(vl + root_l_gt, camera), gt_v2_l)
     out["vert2d_right_sum_px"] = mean_err(
-        xyz_to_uvd(vr + root_r_gt, camera), gt_v2_r)
+        xyz_to_uv(vr + root_r_gt, camera), gt_v2_r)
 
     # Inter-hand root offset (apps/eval.py:233-241).
     rel_pred = pred_offset[:, None, :] * 0.15

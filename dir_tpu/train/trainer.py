@@ -52,6 +52,7 @@ class Trainer:
         save_yaml(cfg, os.path.join(cfg.train.output_dir, "config.yaml"))
         self.model = DIR(cfg.model)
         self.start_epoch = 0
+        self.best = float("inf")
 
     # -- setup -------------------------------------------------------------
 
@@ -76,7 +77,8 @@ class Trainer:
         else:
             self.train_ds = InterHandDataset(
                 c.data.data_dir, "train", self.mano_left, self.mano_right,
-                img_size=c.data.img_size, seed=c.train.seed)
+                img_size=c.data.img_size, seed=c.train.seed,
+                native_warp=c.data.native_warp)
             self.preprocess_train = None
             self.preprocess_test = None
         if self.preprocess_test is None:
@@ -122,18 +124,34 @@ class Trainer:
         if c.train.continue_train and c.train.checkpoint:
             self.state = ckpt.restore_checkpoint(
                 c.train.checkpoint, self.state)
-            self.start_epoch = int(self.state.step) // steps_per_epoch
-            self.logger.info("resumed from %s at epoch %d",
-                             c.train.checkpoint, self.start_epoch)
+            # meta.json carries the loop state the pytree doesn't:
+            # epoch, best metric, device-pipeline aug key (reference
+            # restores last_epoch + schedule, train.py:127-135).
+            meta = ckpt.load_meta(c.train.checkpoint)
+            self.start_epoch = meta.get(
+                "epoch", int(self.state.step) // steps_per_epoch)
+            self.best = meta.get("best", float("inf"))
+            if "aug_key" in meta and hasattr(self, "_aug_key"):
+                self._aug_key = jnp.asarray(meta["aug_key"],
+                                            jnp.uint32)
+            self.logger.info("resumed from %s at epoch %d (best %.4f)",
+                             c.train.checkpoint, self.start_epoch,
+                             self.best)
 
     # -- loops -------------------------------------------------------------
 
+    def _save_meta(self, ckpt_dir: str, epoch: int):
+        meta = {"epoch": epoch + 1, "best": self.best}
+        if hasattr(self, "_aug_key"):
+            meta["aug_key"] = np.asarray(self._aug_key).tolist()
+        ckpt.save_meta(ckpt_dir, meta)
+
     def train(self):
         c = self.cfg
-        best = float("inf")
         ckpt_dir = os.path.join(c.train.output_dir, "checkpoint")
         with self.mesh:
             for epoch in range(self.start_epoch, c.train.total_epochs):
+                self.train_loader.set_epoch(epoch)
                 t0 = time.perf_counter()
                 for it, batch in enumerate(self.train_loader):
                     if self.preprocess_train is not None:
@@ -170,14 +188,16 @@ class Trainer:
                 self.logger.info("epoch %d done in %.1fs", epoch, dt)
                 ckpt.save_checkpoint(ckpt_dir, self.state,
                                      int(self.state.step), "latest")
-                if epoch % c.train.eval_every_epochs == 0:
+                if (c.train.eval_every_epochs
+                        and epoch % c.train.eval_every_epochs == 0):
                     summary = self.evaluate()
                     err = summary["joint_mean_all_mm"]
-                    if err < best:
-                        best = err
+                    if err < self.best:
+                        self.best = err
                         ckpt.save_checkpoint(ckpt_dir, self.state,
                                              int(self.state.step), "best")
-        return best
+                self._save_meta(ckpt_dir, epoch)
+        return self.best
 
     def _dump_vis(self, batch, epoch: int, it: int):
         """Skeleton-overlay dumps of GT vs prediction (train.py:17-55,
@@ -239,6 +259,10 @@ class Trainer:
                         jnp.asarray(batch["camera"]),
                         jreg_l, jreg_r, jnp.asarray(valid),
                         root_joint=self.cfg.model.root_joint)
+                    # one device->host transfer per batch per stage
+                    # (a float() per metric would serialize ~10 tiny
+                    # syncs each batch)
+                    metrics = jax.device_get(metrics)
                     for k, v in metrics.items():
                         accs[si][k] = accs[si].get(k, 0.0) + float(v)
         summaries = [evaluate.summarize(a) for a in accs]

@@ -16,48 +16,122 @@
 
 extern "C" {
 
-// Bilinear affine warp with BORDER_REPLICATE, matching
-// cv2.warpAffine(flags=INTER_LINEAR, borderMode=BORDER_REPLICATE) as the
-// reference uses for image augmentation (utils/utils.py:357-364).
-// src: HxWx3 uint8, dst: OHxOWx3 uint8, m: 2x3 row-major inverse map is
-// computed internally from the forward matrix.
+// Bilinear affine warp matching cv2.warpAffine(flags=INTER_LINEAR) on
+// this OpenCV build (5.x float HAL path: float32 source coordinates,
+// float32 tap weights, round-half-even output quantization). The
+// production aug path (utils/utils.py:405-441, data_augmentation_3D)
+// uses the DEFAULT border: BORDER_CONSTANT value 0 (border=0 here);
+// border=1 gives BORDER_REPLICATE (the reference's other, unused warp,
+// utils/utils.py:357-364). Parity asserted in
+// tests/test_native.py::test_affine_warp_parity.
+// src: HxWx3 uint8, dst: OHxOWx3 uint8, m: 2x3 row-major FORWARD
+// matrix (dst = M src); the inverse map is computed internally, as
+// cv2.warpAffine does.
 void affine_warp_u8(const uint8_t* src, int h, int w,
                     uint8_t* dst, int oh, int ow,
-                    const float* m /* 2x3 forward */) {
-    // invert the 2x3 affine (forward dst = M src => src = Minv dst)
-    float a = m[0], b = m[1], c = m[2];
-    float d = m[3], e = m[4], f = m[5];
-    float det = a * e - b * d;
-    if (std::fabs(det) < 1e-12f) det = det < 0 ? -1e-12f : 1e-12f;
-    float ia = e / det, ib = -b / det;
-    float id = -d / det, ie = a / det;
-    float ic = -(ia * c + ib * f);
-    float if_ = -(id * c + ie * f);
+                    const float* m /* 2x3 forward */, int border) {
+    // invert the 2x3 affine in double, like cv::invertAffineTransform
+    double a = m[0], b = m[1], c = m[2];
+    double d = m[3], e = m[4], f = m[5];
+    double det = a * e - b * d;
+    det = det != 0.0 ? 1.0 / det : 0.0;
+    double ia = e * det, ib = -b * det;
+    double id = -d * det, ie = a * det;
+    double ic = -(ia * c + ib * f);
+    double if_ = -(id * c + ie * f);
 
+    static const uint8_t zero3[3] = {0, 0, 0};
     for (int y = 0; y < oh; ++y) {
-        for (int x = 0; x < ow; ++x) {
-            float sx = ia * x + ib * y + ic;
-            float sy = id * x + ie * y + if_;
+        double sx_row = ib * y + ic;
+        double sy_row = ie * y + if_;
+
+        // General (border-aware) path for one output pixel.
+        auto border_px = [&](int px) {
+            float sx = (float)(ia * px + sx_row);
+            float sy = (float)(id * px + sy_row);
             int x0 = (int)std::floor(sx);
             int y0 = (int)std::floor(sy);
-            float fx = sx - x0;
-            float fy = sy - y0;
-            int x0c = std::min(std::max(x0, 0), w - 1);
-            int x1c = std::min(std::max(x0 + 1, 0), w - 1);
-            int y0c = std::min(std::max(y0, 0), h - 1);
-            int y1c = std::min(std::max(y0 + 1, 0), h - 1);
-            const uint8_t* p00 = src + (y0c * w + x0c) * 3;
-            const uint8_t* p01 = src + (y0c * w + x1c) * 3;
-            const uint8_t* p10 = src + (y1c * w + x0c) * 3;
-            const uint8_t* p11 = src + (y1c * w + x1c) * 3;
-            uint8_t* out = dst + (y * ow + x) * 3;
+            float fx = sx - (float)x0;
+            float fy = sy - (float)y0;
+            uint8_t* out = dst + (y * ow + px) * 3;
+            const uint8_t* tap[4];
+            for (int ky = 0; ky < 2; ++ky) {
+                for (int kx = 0; kx < 2; ++kx) {
+                    int tx = x0 + kx, ty = y0 + ky;
+                    if (0 <= tx && tx < w && 0 <= ty && ty < h) {
+                        tap[ky * 2 + kx] = src + (ty * w + tx) * 3;
+                    } else if (border == 1) {  // BORDER_REPLICATE
+                        int cx = std::min(std::max(tx, 0), w - 1);
+                        int cy = std::min(std::max(ty, 0), h - 1);
+                        tap[ky * 2 + kx] = src + (cy * w + cx) * 3;
+                    } else {  // BORDER_CONSTANT value 0
+                        tap[ky * 2 + kx] = zero3;
+                    }
+                }
+            }
+            float w00 = (1.0f - fy) * (1.0f - fx);
+            float w01 = (1.0f - fy) * fx;
+            float w10 = fy * (1.0f - fx);
+            float w11 = fy * fx;
             for (int ch = 0; ch < 3; ++ch) {
-                float v = (1 - fy) * ((1 - fx) * p00[ch] + fx * p01[ch]) +
-                          fy * ((1 - fx) * p10[ch] + fx * p11[ch]);
-                out[ch] = (uint8_t)std::min(std::max(v + 0.5f, 0.0f),
-                                            255.0f);
+                float v = w00 * tap[0][ch] + w01 * tap[1][ch] +
+                          w10 * tap[2][ch] + w11 * tap[3][ch];
+                int r = (int)std::lrintf(v);
+                out[ch] = (uint8_t)std::min(std::max(r, 0), 255);
+            }
+        };
+
+        // Interior span: x range where the whole 2x2 tap window is in
+        // bounds -> branch-free inner loop (the border path is ~3x
+        // slower per pixel).
+        double lo = 0.0, hi = (double)ow - 1;
+        auto constrain = [&](double coef, double off, double vmin,
+                             double vmax) {
+            // keep vmin <= coef*x + off <= vmax
+            if (coef > 1e-12) {
+                lo = std::max(lo, (vmin - off) / coef);
+                hi = std::min(hi, (vmax - off) / coef);
+            } else if (coef < -1e-12) {
+                lo = std::max(lo, (vmax - off) / coef);
+                hi = std::min(hi, (vmin - off) / coef);
+            } else if (off < vmin || off > vmax) {
+                hi = lo - 1.0;
+            }
+        };
+        // floor(s) must stay in [0, dim-2]; the 1e-3 margin keeps the
+        // float32-rounded coordinate safely below dim-1.
+        constrain(ia, sx_row, 0.0, (double)(w - 1) - 1e-3);
+        constrain(id, sy_row, 0.0, (double)(h - 1) - 1e-3);
+        int xlo = (int)std::ceil(lo);
+        int xhi = (int)std::floor(hi);
+
+        if (xhi < xlo) {
+            for (int px = 0; px < ow; ++px) border_px(px);
+            continue;
+        }
+        for (int px = 0; px < xlo; ++px) border_px(px);
+        for (int px = xlo; px <= xhi; ++px) {
+            float sx = (float)(ia * px + sx_row);
+            float sy = (float)(id * px + sy_row);
+            int x0 = (int)sx;  // coords are non-negative in the span
+            int y0 = (int)sy;
+            float fx = sx - (float)x0;
+            float fy = sy - (float)y0;
+            const uint8_t* p0 = src + (y0 * w + x0) * 3;
+            const uint8_t* p1 = p0 + w * 3;
+            uint8_t* out = dst + (y * ow + px) * 3;
+            float w00 = (1.0f - fy) * (1.0f - fx);
+            float w01 = (1.0f - fy) * fx;
+            float w10 = fy * (1.0f - fx);
+            float w11 = fy * fx;
+            for (int ch = 0; ch < 3; ++ch) {
+                float v = w00 * p0[ch] + w01 * p0[3 + ch] +
+                          w10 * p1[ch] + w11 * p1[3 + ch];
+                int r = (int)std::lrintf(v);
+                out[ch] = (uint8_t)std::min(std::max(r, 0), 255);
             }
         }
+        for (int px = xhi + 1; px < ow; ++px) border_px(px);
     }
 }
 

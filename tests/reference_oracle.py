@@ -78,9 +78,32 @@ def _install_stubs() -> None:
         tvm.ResNet50_Weights = _Weights
         tvm.resnet50 = _random_resnet50
 
+        # dataset/interhand.py:108 + apps/eval.py:50 use only
+        # transforms.Normalize — the standard per-channel CHW affine.
+        tvt = _stub_module("torchvision.transforms")
+
+        class Normalize:
+            def __init__(self, mean, std):
+                self.mean = torch.tensor(mean, dtype=torch.float32)
+                self.std = torch.tensor(std, dtype=torch.float32)
+
+            def __call__(self, t):
+                return ((t - self.mean[:, None, None])
+                        / self.std[:, None, None])
+
+        tvt.Normalize = Normalize
+
     if "imgaug" not in sys.modules:
         ia = _stub_module("imgaug")
-        ia.augmenters = _stub_module("imgaug.augmenters")
+        iaa = _stub_module("imgaug.augmenters")
+        ia.augmenters = iaa
+        # imgUtils.__init__ builds (but never invokes in any oracle
+        # test) an iaa pipeline (utils/utils.py:258-260); the actual
+        # motion blur used at dataset/interhand.py:190 is the cv2-based
+        # imgUtils.motion_blur static method, not this pipeline.
+        iaa.Sequential = lambda *a, **k: object()
+        iaa.Sometimes = lambda *a, **k: object()
+        iaa.MotionBlur = lambda *a, **k: object()
 
     if "yacs" not in sys.modules:
         _stub_module("yacs")
@@ -165,3 +188,78 @@ def patch_manopth_synthetic() -> None:
     install()
     import manopth.manolayer as ml
     ml.ready_arguments = synthetic_ready_arguments
+
+
+# ---------------------------------------------------------------------------
+# Data-side MANO pkls (models/manolayer.py:100-152 loader format)
+# ---------------------------------------------------------------------------
+
+def write_data_mano_pkls(out_dir: str) -> dict:
+    """Dump the synthetic MANO models in the pickle format the reference's
+    data-side ManoLayer loads (models/manolayer.py:108-152: scipy-sparse
+    J_regressor, (778,3,135) posedirs, kintree_table, ...). Returns the
+    {'left': path, 'right': path} dict get_mano_path() would produce."""
+    import os
+    import pickle
+
+    import scipy.sparse as sp
+
+    from dir_tpu.mano.assets import MANO_PARENTS, synthetic_mano
+
+    paths = {}
+    for side in ("left", "right"):
+        m = synthetic_mano(side, seed=0)
+        jreg = np.asarray(m.j_regressor)
+        data = {
+            "hands_components": np.asarray(m.hands_components, np.float64),
+            "J_regressor": sp.csc_matrix(jreg),
+            "J": (jreg @ np.asarray(m.v_template)).astype(np.float64),
+            "weights": np.asarray(m.weights, np.float64),
+            "posedirs": np.asarray(m.posedirs, np.float64),
+            "v_template": np.asarray(m.v_template, np.float64),
+            "shapedirs": np.asarray(m.shapedirs),
+            "hands_mean": np.asarray(m.hands_mean, np.float64),
+            "f": np.asarray(m.faces, np.uint32),
+            "kintree_table": np.stack(
+                [np.asarray(MANO_PARENTS), np.arange(16)]).astype(np.int64),
+        }
+        p = os.path.join(out_dir, f"MANO_{side.upper()}.pkl")
+        with open(p, "wb") as f:
+            pickle.dump(data, f)
+        paths[side] = p
+    return paths
+
+
+# ---------------------------------------------------------------------------
+# apps/eval.py: module defs + the exact per-batch metric block
+# ---------------------------------------------------------------------------
+
+def load_ref_eval_module():
+    """Import /root/reference/apps/eval.py under a non-clashing module
+    name (our repo has its own ``apps`` package) — executes only the
+    module-level defs (Jr, handDataset, xyz2uvd), not ``__main__``."""
+    install()
+    import importlib.util
+
+    if "ref_apps_eval" in sys.modules:
+        return sys.modules["ref_apps_eval"]
+    spec = importlib.util.spec_from_file_location(
+        "ref_apps_eval", REF + "/apps/eval.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_apps_eval"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def extract_eval_metric_block() -> str:
+    """Return the reference's per-batch metric computation
+    (apps/eval.py:140-241 — the body of ``for data in tqdm(dataloader)``
+    up to ``idx += 1``) dedented into exec-able source, so tests run the
+    reference's OWN metric code rather than a re-reading of it."""
+    with open(REF + "/apps/eval.py") as f:
+        lines = f.read().splitlines()
+    start = next(i for i, l in enumerate(lines)
+                 if "for data in tqdm(dataloader):" in l) + 1
+    end = next(i for i, l in enumerate(lines) if l.strip() == "idx += 1")
+    body = [line[12:] for line in lines[start:end]]
+    return "\n".join(body)

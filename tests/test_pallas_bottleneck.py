@@ -94,21 +94,31 @@ def test_fused_bottleneck_bf16_close():
                                rtol=0.05, atol=0.05)
 
 
-def test_backbone_fused_eval_matches_unfused():
+def test_backbone_fused_eval_matches_unfused(monkeypatch):
     """ResNetPyramid(fused_eval=True) == the XLA path at inference
-    (fp32, interpret mode; 256^2 input puts layer1 at 64^2 so the
-    spatial guard engages)."""
+    (fp32, interpret mode). layers=(2,1,1,1): layer1_0's input is the
+    64-ch pool (guard keeps it XLA) but layer1_1 sees 256 ch at 64^2,
+    so the fused kernel must actually run — asserted via a call
+    counter, so this can't silently degrade to XLA-vs-XLA."""
     from dir_tpu.models.resnet import ResNetPyramid
+    from dir_tpu.ops import pallas_bottleneck as pb
+
+    calls = []
+    real = pb.fused_bottleneck_infer
+    monkeypatch.setattr(
+        pb, "fused_bottleneck_infer",
+        lambda *a, **k: calls.append(1) or real(*a, **k))
 
     rng = np.random.RandomState(2)
     x = jnp.asarray(rng.randn(1, 256, 256, 3).astype(np.float32))
-    plain = ResNetPyramid(layers=(1, 1, 1, 1))
-    fused = ResNetPyramid(layers=(1, 1, 1, 1), fused_eval=True)
+    plain = ResNetPyramid(layers=(2, 1, 1, 1))
+    fused = ResNetPyramid(layers=(2, 1, 1, 1), fused_eval=True)
     variables = plain.init(jax.random.PRNGKey(0), x)
     variables = _rand_variables(np.random.RandomState(3), variables)
 
     ref = plain.apply(variables, x, train=False)
     out = fused.apply(variables, x, train=False)
+    assert len(calls) == 1, "fused kernel did not engage"
     # random un-normalized weights blow activations up to ~1e3 over four
     # stages, amplifying fp32 accumulation-order differences; 2e-3
     # relative is tight for that scale

@@ -174,6 +174,83 @@ def test_ref_adjacency_matches():
     np.testing.assert_array_equal(ref > 0, hand_adjacency(21) > 0)
 
 
+def test_ref_hierarchy_graphs():
+    """Hierarchical coarsening graphs + node maps (SemGCN/utils.py:74-99)
+    match our gcn.get_hierarchy_sketch / get_hierarchy_mapping."""
+    from SemGCN.utils import get_hierarchy_mapping, get_hierarchy_sketch
+
+    from dir_tpu.models import gcn
+
+    ref_sketch = get_hierarchy_sketch()
+    got_sketch = gcn.get_hierarchy_sketch()
+    assert len(ref_sketch) == len(got_sketch) == 4
+    for r, g in zip(ref_sketch, got_sketch):
+        assert [list(e) for e in g] == [list(e) for e in r]
+    ref_maps = get_hierarchy_mapping()
+    got_maps = gcn.get_hierarchy_mapping()
+    assert len(ref_maps) == len(got_maps) == 3
+    for r, g in zip(ref_maps, got_maps):
+        assert [list(m) for m in g] == [list(m) for m in r]
+
+
+def test_ref_pool_gcn_parity(rng):
+    """SimplePoolGCN (SemGCN/p_gcn.py:76-128) == our flax SimplePoolGCN
+    with converted weights. Dead code in the reference (no construction
+    site) — adjacency built the way DIR builds its graphs
+    (models/dir.py:23: eye=False)."""
+    from SemGCN.p_gcn import SimplePoolGCN as RefPool
+    from SemGCN.utils import (adj_mx_from_edges, get_hierarchy_mapping,
+                              get_hierarchy_sketch)
+
+    sketches = get_hierarchy_sketch()
+    maps = get_hierarchy_mapping()
+    adjs = [adj_mx_from_edges(n, e, sparse=False, eye=False)
+            for n, e in zip((21, 11, 6), sketches)]
+    tmod = RefPool(adjs, maps, in_dim=16, hid_dim=(24, 32, 40), out_dim=8)
+    _randomize_bn_stats(tmod, rng)
+    tmod.eval()
+
+    params, stats = ck.convert_torch_state(
+        _sd(tmod), ck._entries_pool_gcn("", ("pg",)))
+
+    from dir_tpu.models.gcn import SimplePoolGCN
+    fmod = SimplePoolGCN(hid_dims=(24, 32, 40), out_dim=8)
+    x = torch.from_numpy(rng.randn(2, 21, 16).astype(np.float32))
+    got = np.asarray(fmod.apply(
+        {"params": params["pg"], "batch_stats": stats["pg"]},
+        jnp.asarray(x.numpy())))
+    with torch.no_grad():
+        want = tmod(x).numpy()
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_ref_hourglass_parity(rng):
+    """Recursive Hourglass (models/backbone/hourglass.py:73-97) == our
+    flax Hourglass with converted weights (dead code in the reference —
+    constructed nowhere in the DIR pipeline)."""
+    from models.backbone.hourglass import Hourglass as RefHG
+
+    tmod = RefHG(n=2, f=16)
+    _randomize_bn_stats(tmod, rng)
+    tmod.eval()
+
+    params, stats = ck.convert_torch_state(
+        _sd(tmod), ck._entries_hourglass("", ("hg",), depth=2))
+
+    from dir_tpu.models.layers import Hourglass
+    fmod = Hourglass(depth=2, features=16)
+    x = torch.from_numpy(rng.randn(1, 16, 16, 16).astype(np.float32))
+    xj = jnp.asarray(x.permute(0, 2, 3, 1).numpy())
+    shapes = jax.eval_shape(lambda: fmod.init(jax.random.PRNGKey(0), xj))
+    params = ck.prune_to_target(params["hg"], shapes["params"])
+    stats = ck.prune_to_target(stats["hg"], shapes["batch_stats"])
+    got = np.asarray(fmod.apply(
+        {"params": params, "batch_stats": stats}, xj))
+    with torch.no_grad():
+        want = tmod(x).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
 # ---------------------------------------------------------------------------
 # Losses (models/loss.py, models/lovasz_loss.py)
 # ---------------------------------------------------------------------------

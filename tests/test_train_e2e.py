@@ -288,3 +288,50 @@ def test_trainer_resume(env):
     assert int(t2.state.step) == step1
     np.testing.assert_allclose(
         np.asarray(t2.state.params["backbone"]["conv1"]["kernel"]), kernel1)
+
+
+@pytest.mark.slow
+def test_trainer_resume_trajectory(env):
+    """Interrupt-and-resume == uninterrupted run: the epoch-keyed
+    shuffle + aug RNG and the meta.json epoch/best/aug-key bookkeeping
+    make the continued loss trajectory identical (the reference restores
+    last_epoch + optimizer + schedule, train.py:127-135)."""
+    cfg, left, right = env
+
+    def make(out_dir, epochs, resume_ckpt=None):
+        tr = dataclasses.replace(
+            cfg.train, output_dir=out_dir, total_epochs=epochs,
+            draw_every=0, eval_every_epochs=0,
+            checkpoint=resume_ckpt or "",
+            continue_train=resume_ckpt is not None)
+        t = Trainer(dataclasses.replace(cfg, train=tr), left, right,
+                    mesh=make_mesh(2))
+        t.make_data()
+        t.make_model()
+        t.train()
+        return t
+
+    out_a = cfg.train.output_dir + "_traj_a"
+    out_b = cfg.train.output_dir + "_traj_b"
+    ta = make(out_a, epochs=2)
+
+    tb1 = make(out_b, epochs=1)
+    assert ckpt_meta_epoch(out_b) == 1
+    tb2 = make(out_b, epochs=2,
+               resume_ckpt=os.path.join(out_b, "checkpoint"))
+    assert tb2.start_epoch == 1
+    assert int(tb2.state.step) == int(ta.state.step)
+
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        ta.state.params, tb2.state.params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        ta.state.batch_stats, tb2.state.batch_stats)
+
+
+def ckpt_meta_epoch(out_dir):
+    from dir_tpu.train import checkpoint as ckpt
+    return ckpt.load_meta(os.path.join(out_dir, "checkpoint")).get("epoch")

@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--stage", type=int, default=-1,
                     help="stage to evaluate (-1 = final refinement, the "
                          "reference's stage_num-1; apps/eval.py:170)")
+    ap.add_argument("--stem", type=str, default="conv7",
+                    choices=["conv7", "s2d"],
+                    help="backbone stem: conv7 (torch layout) or s2d "
+                         "(space-to-depth rewrite, exact, faster on TPU; "
+                         "imported stems are converted automatically)")
     ap.add_argument("--fused_bottleneck", action="store_true",
                     help="fused Pallas bottleneck inference kernels for "
                          "the early backbone (TPU; ~6%% faster eval, "
@@ -74,7 +79,7 @@ def main():
         mano_l, mano_r = load_mano_pair(opt.mano_path)
     layers = tuple(int(x) for x in opt.backbone_layers.split(","))
     cfg = ModelConfig(root_joint=opt.root_joint, dtype=opt.dtype,
-                      backbone_layers=layers,
+                      backbone_layers=layers, backbone_stem=opt.stem,
                       fused_bottleneck_eval=opt.fused_bottleneck)
     model = DIR(cfg)
 
@@ -88,6 +93,8 @@ def main():
     elif opt.model.endswith(".pth"):
         logger.info("converting torch checkpoint %s", opt.model)
         params, stats = ckpt.load_torch_dir_checkpoint(opt.model)
+        if cfg.backbone_stem == "s2d":
+            params = ckpt.adapt_stem_s2d(params)
         variables = {
             "params": ckpt.prune_to_target(params, variables["params"]),
             "batch_stats": ckpt.prune_to_target(stats,

@@ -42,8 +42,9 @@ ITERS = 10
 def bench_eval():
     from __graft_entry__ import _flagship
 
-    model, _, mano_l, mano_r = _flagship(dtype="bfloat16",
-                                         fused_bottleneck_eval=True)
+    model, _, mano_l, mano_r = _flagship(
+        dtype="bfloat16", fused_bottleneck_eval=True,
+        backbone_stem=os.environ.get("STEM", "conv7"))
     rng = np.random.RandomState(0)
     img = jnp.asarray(rng.randn(BATCH, 256, 256, 3).astype(np.float32))
     # Shape-only init: parameter values are irrelevant for throughput and
@@ -80,7 +81,8 @@ def bench_train():
     from dir_tpu.train.state import create_train_state, make_optimizer
     from dir_tpu.train.steps import make_train_step
 
-    cfg = ModelConfig(dtype="bfloat16", mano_precision="high")
+    cfg = ModelConfig(dtype="bfloat16", mano_precision="high",
+                      backbone_stem=os.environ.get("STEM", "conv7"))
     mano_r = synthetic_mano("right", seed=0)
     mano_l = fix_left_shapedirs(synthetic_mano("left", seed=0), mano_r)
     model = DIR(cfg)

@@ -396,6 +396,31 @@ def import_torch_resnet50(sd: Dict[str, np.ndarray]):
     return params[""], stats[""]
 
 
+def adapt_stem_s2d(params: dict) -> dict:
+    """Rewrite an imported conv7 stem kernel (7, 7, C, 64) to the
+    space-to-depth layout (4, 4, 4C, 64) wherever it appears, so
+    reference/torchvision checkpoints load into
+    ``backbone_stem="s2d"`` models (exact rewrite —
+    resnet.stem_weights_to_s2d; equality test at
+    tests/test_components.py::test_s2d_stem_exactly_matches_conv7)."""
+    from dir_tpu.models.resnet import stem_weights_to_s2d
+
+    def walk(tree):
+        out = {}
+        for k, v in tree.items():
+            if (k == "conv1" and isinstance(v, dict) and "kernel" in v
+                    and getattr(v["kernel"], "shape", ())[:2] == (7, 7)):
+                out[k] = dict(v)
+                out[k]["kernel"] = stem_weights_to_s2d(v["kernel"])
+            elif isinstance(v, dict):
+                out[k] = walk(v)
+            else:
+                out[k] = v
+        return out
+
+    return walk(params)
+
+
 def prune_to_target(converted: dict, target: dict) -> dict:
     """Drop converted entries absent from the target tree (e.g. Residual
     skip convs when in_dim == out_dim) and verify full coverage."""

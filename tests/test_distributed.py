@@ -6,7 +6,11 @@ devices, that run `init_distributed` + one sharded train step over the
 8-device GLOBAL mesh, and asserts the loss equals the single-process
 8-device run of the identical step — proving `parallel/mesh.py`'s
 distributed init, the cross-process `shard_batch` path, and the XLA
-collectives compose correctly across process topologies.
+collectives compose correctly across process topologies. (The step is
+a compact MLP, not full DIR: gloo hard-codes a 30 s communicator-init
+timeout that the 1-core host's timesliced full-model replicas overrun —
+see tests/distributed_worker.py; full-DIR sharding is covered by the
+single-process dryrun + DP-equivalence tests.)
 """
 
 import os

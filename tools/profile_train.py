@@ -26,7 +26,8 @@ def main():
     from dir_tpu.train.steps import make_train_step
 
     cfg = ModelConfig(dtype="bfloat16",
-                      mano_precision=os.environ.get("MANO_PREC", "high"))
+                      mano_precision=os.environ.get("MANO_PREC", "high"),
+                      backbone_stem=os.environ.get("STEM", "conv7"))
     mano_r = synthetic_mano("right", seed=0)
     mano_l = fix_left_shapedirs(synthetic_mano("left", seed=0), mano_r)
     model = DIR(cfg)

@@ -74,7 +74,14 @@ def bench_eval():
 def bench_train():
     """Full train-step time at batch 64, bf16 trunk, MANO bf16x3
     (mano_precision="high" — the documented training setting,
-    dir_tpu/config.py)."""
+    dir_tpu/config.py).
+
+    UNROLL (default 4) optimizer steps run per dispatch via lax.scan
+    over stacked batches — the production ``TrainConfig.steps_per_call``
+    path (train/steps.py; equivalence test
+    tests/test_train_e2e.py::test_unrolled_steps_match_sequential).
+    Reported time is per OPTIMIZER STEP; measured 64.2 -> 61.5 ms by
+    amortizing this box's ~3 ms/dispatch tunnel overhead."""
     from dir_tpu.config import ModelConfig, TrainConfig
     from dir_tpu.mano import synthetic_mano, fix_left_shapedirs
     from dir_tpu.models.dir import DIR
@@ -104,16 +111,19 @@ def bench_train():
         "seg": rng.randint(0, 3, size=(b, 256, 256)).astype(np.int32),
         "dense": rng.rand(b, 256, 256, 3).astype(np.float32),
     }
+    unroll = int(os.environ.get("UNROLL", "4"))
+    img0 = jnp.asarray(batch["img"][:1])
+    if unroll > 1:
+        batch = {k: np.stack([v] * unroll) for k, v in batch.items()}
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
     # real (jitted) init: zero params make the robust-6D gradients blow
     # up within a few repeated steps and the loss reads as nan
     variables = jax.jit(
-        lambda: model.init(jax.random.PRNGKey(0), batch["img"][:1],
-                           mano_l, mano_r))()
+        lambda: model.init(jax.random.PRNGKey(0), img0, mano_l, mano_r))()
     tx = make_optimizer(TrainConfig(), steps_per_epoch=1000)
     state = create_train_state(variables, tx)
-    step_fn = make_train_step(model, tx, cfg, mano_l, mano_r)
+    step_fn = make_train_step(model, tx, cfg, mano_l, mano_r, unroll=unroll)
 
     for _ in range(WARMUP):
         state, loss = step_fn(state, batch)
@@ -122,7 +132,7 @@ def bench_train():
     for _ in range(ITERS):
         state, loss = step_fn(state, batch)
     jax.block_until_ready(loss)
-    dt = (time.perf_counter() - t0) / ITERS
+    dt = (time.perf_counter() - t0) / (ITERS * unroll)
     return dt
 
 

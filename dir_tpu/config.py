@@ -126,6 +126,11 @@ class TrainConfig:
     print_every: int = 100
     draw_every: int = 100  # skeleton-overlay dumps (0 disables)
     eval_every_epochs: int = 1
+    # Optimizer steps fused into one device dispatch (lax.scan over
+    # stacked batches, train/steps.py): amortizes per-dispatch host/RPC
+    # overhead (~8 ms/step through this box's tunnel) with identical
+    # math. Host data path only; logging/vis cadence becomes per-call.
+    steps_per_call: int = 1
     output_dir: str = "./output/dir_tpu"
     checkpoint: str = ""
     continue_train: bool = False

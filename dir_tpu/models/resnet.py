@@ -180,6 +180,12 @@ class ResNetPyramid(nn.Module):
                          momentum=BN_MOMENTUM, epsilon=BN_EPS,
                          dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
+        # reduce_window + select_and_scatter cost ~2.7 ms/step (b64) —
+        # ~8x roofline — but the shifted-strided-slice reformulation
+        # (ops/pool.py) measured WORSE end-to-end (79.3 vs 64.2 ms/step:
+        # sublane-strided W slices + pad-scatter backward lose more than
+        # the window ops cost). Documented negative result; keep XLA's
+        # native lowering.
         x = nn.max_pool(x, (3, 3), strides=(2, 2),
                         padding=((1, 1), (1, 1)))
 

@@ -54,8 +54,12 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh):
+def shard_batch(batch, mesh: Mesh, leading_steps: bool = False):
     """Place a pytree of host arrays onto the mesh, batch-axis sharded.
+
+    leading_steps: the leaves carry a leading scan/step axis (stacked
+    multi-step batches, train/steps.py unroll) — the SECOND axis is the
+    sharded batch axis.
 
     Single-process: a plain sharded device_put. Multi-process (after
     :func:`init_distributed`): every process passes the same GLOBAL
@@ -63,7 +67,10 @@ def shard_batch(batch, mesh: Mesh):
     ``make_array_from_callback`` — device_put cannot target another
     process's devices. Covered by tests/test_distributed.py (2-process
     CPU mesh)."""
-    sharding = batch_sharding(mesh)
+    if leading_steps:
+        sharding = NamedSharding(mesh, P(None, "data"))
+    else:
+        sharding = batch_sharding(mesh)
     if jax.process_count() > 1:
         def put(x):
             x = np.asarray(x)

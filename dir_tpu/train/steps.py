@@ -16,7 +16,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dir_tpu.config import ModelConfig
 from dir_tpu.mano.assets import ManoModel
@@ -27,14 +27,23 @@ from dir_tpu.train.state import TrainState
 
 def make_train_step(model, tx, cfg: ModelConfig, mano_left: ManoModel,
                     mano_right: ManoModel, mesh: Mesh | None = None,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True, unroll: int = 1) -> Callable:
     """Build the jitted train step: (state, batch) -> (state, loss_dict).
 
     batch: {"img": (B, H, W, 3)} plus every target key consumed by
     :func:`dir_losses`.
+
+    unroll > 1: batch leaves carry a leading ``unroll`` axis (stacked
+    consecutive batches) and the program runs that many optimizer steps
+    in ONE ``lax.scan`` — amortizing the per-dispatch host/RPC overhead
+    (≈8 ms/step through this box's device tunnel) without changing the
+    math: step k consumes batch k exactly as the unrolled=1 loop would
+    (equivalence test: tests/test_train_e2e.py::test_unrolled_steps).
+    Returns the LAST step's loss_dict (what a per-N-iteration logger
+    reads).
     """
 
-    def step(state: TrainState, batch: dict):
+    def one_step(state: TrainState, batch: dict):
         def loss_fn(params):
             out, updates = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -52,11 +61,22 @@ def make_train_step(model, tx, cfg: ModelConfig, mano_left: ManoModel,
                                batch_stats=new_stats, opt_state=new_opt)
         return new_state, loss_dict
 
+    if unroll == 1:
+        step = one_step
+    else:
+        def step(state: TrainState, batches: dict):
+            state, losses = jax.lax.scan(one_step, state, batches)
+            return state, jax.tree.map(lambda x: x[-1], losses)
+
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,) if donate else ())
 
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh)
+    if unroll > 1:
+        # leading axis is the step index; the per-step batch axis
+        # (second) is the sharded one
+        data = NamedSharding(mesh, P(None, "data"))
     return jax.jit(
         step,
         in_shardings=(repl, data),

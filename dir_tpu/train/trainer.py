@@ -117,9 +117,13 @@ class Trainer:
                     init_stats, variables["batch_stats"])
         self.state = create_train_state(variables, self.tx)
 
+        if c.train.steps_per_call > 1 and c.data.device_pipeline:
+            raise ValueError(
+                "steps_per_call > 1 requires the host data path "
+                "(stacked batches); disable data.device_pipeline")
         self.train_step = make_train_step(
             self.model, self.tx, c.model, self.mano_left, self.mano_right,
-            mesh=self.mesh)
+            mesh=self.mesh, unroll=c.train.steps_per_call)
         self.eval_step = make_eval_step(
             self.model, self.mano_left, self.mano_right, mesh=self.mesh)
 
@@ -142,6 +146,23 @@ class Trainer:
 
     # -- loops -------------------------------------------------------------
 
+    def _call_batches(self, loader):
+        """Yield per-dispatch batches: the loader's batches unchanged at
+        steps_per_call=1, else stacked groups of that many consecutive
+        batches (leading axis = step index; remainder dropped like
+        drop_last). Each scan step consumes its own batch — identical
+        math to dispatching them one by one."""
+        spc = self.cfg.train.steps_per_call
+        if spc <= 1:
+            yield from loader
+            return
+        buf = []
+        for b in loader:
+            buf.append(b)
+            if len(buf) == spc:
+                yield {k: np.stack([x[k] for x in buf]) for k in buf[0]}
+                buf = []
+
     def _save_meta(self, ckpt_dir: str, epoch: int):
         meta = {"epoch": epoch + 1, "best": self.best}
         if hasattr(self, "_aug_key"):
@@ -155,7 +176,8 @@ class Trainer:
             for epoch in range(self.start_epoch, c.train.total_epochs):
                 self.train_loader.set_epoch(epoch)
                 t0 = time.perf_counter()
-                for it, batch in enumerate(self.train_loader):
+                for it, batch in enumerate(
+                        self._call_batches(self.train_loader)):
                     if self.preprocess_train is not None:
                         raw = shard_batch(
                             {k: v for k, v in batch.items()
@@ -165,7 +187,8 @@ class Trainer:
                         dev_batch = {k: dev_batch[k] for k in _BATCH_KEYS}
                     else:
                         dev_batch = shard_batch(
-                            {k: batch[k] for k in _BATCH_KEYS}, self.mesh)
+                            {k: batch[k] for k in _BATCH_KEYS}, self.mesh,
+                            leading_steps=c.train.steps_per_call > 1)
                     self.state, loss_dict = self.train_step(
                         self.state, dev_batch)
                     if it % c.train.print_every == 0:
@@ -185,6 +208,10 @@ class Trainer:
                         vis_batch = (dev_batch
                                      if self.preprocess_train is not None
                                      else batch)
+                        if c.train.steps_per_call > 1:
+                            # stacked call: draw the last step's batch
+                            vis_batch = {k: v[-1]
+                                         for k, v in vis_batch.items()}
                         self._dump_vis(vis_batch, epoch, it)
                 dt = time.perf_counter() - t0
                 self.logger.info("epoch %d done in %.1fs", epoch, dt)

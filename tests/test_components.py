@@ -186,3 +186,21 @@ def test_adapt_stem_s2d_tree_rewrite(rng):
                      "batch_stats": v7["batch_stats"]}, x)
     for a, b in zip(out7, outs):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_max_pool_3x3_s2_matches_reduce_window(rng):
+    """ops/pool.py shifted-slice maxpool == flax nn.max_pool (fwd+grad)."""
+    import flax.linen as nn
+
+    from dir_tpu.ops.pool import max_pool_3x3_s2
+
+    x = jnp.asarray(rng.randn(2, 16, 12, 5).astype(np.float32))
+    ref = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+    got = max_pool_3x3_s2(x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    g_ref = jax.grad(lambda v: (nn.max_pool(
+        v, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))) ** 2).sum())(x)
+    g_got = jax.grad(lambda v: (max_pool_3x3_s2(v) ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               atol=1e-6)

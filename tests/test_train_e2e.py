@@ -291,6 +291,93 @@ def test_trainer_resume(env):
 
 
 @pytest.mark.slow
+def test_unrolled_steps_match_sequential(env):
+    """make_train_step(unroll=2) over stacked batches == two sequential
+    unroll=1 dispatches (same params/BN stats/opt state), so the
+    steps_per_call dispatch amortization never changes the math."""
+    import jax.numpy as jnp
+
+    from dir_tpu.config import ModelConfig
+    from dir_tpu.models.dir import DIR
+    from dir_tpu.train.state import create_train_state
+    from dir_tpu.train.steps import make_train_step
+
+    cfg, left, right = env
+    mcfg = ModelConfig(backbone_layers=(1, 1, 1, 1))
+    model = DIR(mcfg)
+    rng = np.random.RandomState(7)
+    b, s = 2, 64
+
+    def mk_batch(seed):
+        r = np.random.RandomState(seed)
+        return {
+            "img": r.randn(b, s, s, 3).astype(np.float32),
+            "joint_2d_left": r.randn(b, 21, 3).astype(np.float32),
+            "joint_2d_right": r.randn(b, 21, 3).astype(np.float32),
+            "mesh_2d_left": r.randn(b, 778, 3).astype(np.float32),
+            "mesh_2d_right": r.randn(b, 778, 3).astype(np.float32),
+            "joint_3d_left": r.randn(b, 21, 3).astype(np.float32) * 0.1,
+            "joint_3d_right": r.randn(b, 21, 3).astype(np.float32) * 0.1,
+            "mesh_3d_left": r.randn(b, 778, 3).astype(np.float32) * 0.1,
+            "mesh_3d_right": r.randn(b, 778, 3).astype(np.float32) * 0.1,
+            "center_left": r.randn(b, 1, 3).astype(np.float32) * 0.1,
+            "center_right": r.randn(b, 1, 3).astype(np.float32) * 0.1,
+            "seg": r.randint(0, 3, size=(b, s, s)).astype(np.int32),
+            "dense": r.rand(b, s, s, 3).astype(np.float32),
+        }
+
+    b1, b2 = mk_batch(1), mk_batch(2)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.asarray(b1["img"][:1]), left, right)
+    # SGD, not AdamW: adam's normalized update is +-lr*sign(g) for
+    # near-zero gradient dims, so fp32 reassociation between the scan
+    # body and the standalone step flips whole update signs — SGD keeps
+    # the comparison tight while exercising identical scan mechanics
+    # (state threading, per-step batch indexing, BN stats).
+    import optax
+    tx = optax.sgd(1e-3, momentum=0.9)
+
+    seq_state = create_train_state(variables, tx)
+    step1 = make_train_step(model, tx, mcfg, left, right, donate=False)
+    seq_state, _ = step1(seq_state, b1)
+    seq_state, seq_loss = step1(seq_state, b2)
+
+    un_state = create_train_state(variables, tx)
+    step2 = make_train_step(model, tx, mcfg, left, right, donate=False,
+                            unroll=2)
+    stacked = {k: np.stack([b1[k], b2[k]]) for k in b1}
+    un_state, un_loss = step2(un_state, stacked)
+
+    assert int(un_state.step) == int(seq_state.step) == 2
+    # Final loss = step-2 loss on batch 2 at params updated by batch 1:
+    # a wrong batch order / skipped update would shift it macroscopically
+    # (the scan body reassociates fp32, so exact equality is out — the
+    # model's gradient crosses discrete boundaries (splat masks, sort
+    # ties) and post-update params differ at ~1e-3 of the UPDATE scale).
+    np.testing.assert_allclose(
+        float(sum(jax.tree.map(float, un_loss).values())),
+        float(sum(jax.tree.map(float, seq_loss).values())), rtol=1e-4)
+
+    # Params: per-leaf, the scan-vs-sequential discrepancy must be tiny
+    # RELATIVE TO THE APPLIED UPDATE — a mechanics bug (wrong batch,
+    # dropped step) shows up at ratio ~1.
+    p0 = variables["params"]
+
+    def update_relative(a, c, z):
+        diff = np.max(np.abs(np.asarray(a) - np.asarray(c)))
+        upd = np.max(np.abs(np.asarray(c) - np.asarray(z)))
+        # measured chaos ratio ~0.08 (discrete-boundary gradient flips
+        # under reassociation); a wrong/dropped batch reads ~1.0
+        assert diff <= 0.25 * upd + 1e-6, (diff, upd)
+
+    jax.tree.map(update_relative, un_state.params, seq_state.params, p0)
+    jax.tree.map(
+        lambda a, c: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), rtol=1e-3, atol=1e-4),
+        un_state.batch_stats, seq_state.batch_stats)
+
+
+@pytest.mark.slow
 def test_trainer_resume_trajectory(env):
     """Interrupt-and-resume == uninterrupted run: the epoch-keyed
     shuffle + aug RNG and the meta.json epoch/best/aug-key bookkeeping

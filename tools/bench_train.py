@@ -52,16 +52,21 @@ def main():
         "seg": rng.randint(0, 3, size=(b, 256, 256)).astype(np.int32),
         "dense": rng.rand(b, 256, 256, 3).astype(np.float32),
     }
+    unroll = int(os.environ.get("UNROLL", "1"))
+    if unroll > 1:
+        # stacked consecutive batches (leading axis = step index)
+        batch = {k: np.stack([v] * unroll) for k, v in batch.items()}
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
     # real (jitted) init: zero params make the robust-6D gradients blow
     # up within a few repeated steps and the loss reads as nan
+    img0 = batch["img"][0, :1] if unroll > 1 else batch["img"][:1]
     variables = jax.jit(
-        lambda: model.init(jax.random.PRNGKey(0), batch["img"][:1],
-                           mano_l, mano_r))()
+        lambda: model.init(jax.random.PRNGKey(0), img0, mano_l, mano_r))()
     tx = make_optimizer(TrainConfig(), steps_per_epoch=1000)
     state = create_train_state(variables, tx)
-    step_fn = make_train_step(model, tx, cfg, mano_l, mano_r, donate=True)
+    step_fn = make_train_step(model, tx, cfg, mano_l, mano_r, donate=True,
+                              unroll=unroll)
 
     state, loss = step_fn(state, batch)  # compile
     jax.block_until_ready(loss)
@@ -69,8 +74,9 @@ def main():
     for _ in range(ITERS):
         state, loss = step_fn(state, batch)
     jax.block_until_ready(loss)
-    dt = (time.perf_counter() - t0) / ITERS
+    dt = (time.perf_counter() - t0) / (ITERS * unroll)
     print(f"train_step: {dt * 1000:.2f} ms ({BATCH / dt:.0f} img/s), "
+          f"unroll={unroll}, "
           f"loss={float(sum(jax.tree.map(float, loss).values())):.3f}")
 
 

@@ -53,12 +53,25 @@ def bench_eval():
         lambda: model.init(jax.random.PRNGKey(0), img[:1], mano_l, mano_r))
     variables = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
-    @jax.jit
-    def fwd(image):
+    def one(image):
         out = model.apply(variables, image, mano_l, mano_r, train=False)
         final = out["stages"][-1]
         return (final["pd_mesh_xyz_left"], final["pd_mesh_xyz_right"],
                 final["pd_offset"])
+
+    # EVAL_UNROLL batches per dispatch via lax.scan — the tunnel charges
+    # ~3 ms of RPC overhead per execute even with pipelined dispatch;
+    # scanning N independent batches inside one program amortizes it
+    # (production equivalent: apps/eval.py streams batches and can stack
+    # them the same way; per-batch outputs are returned unchanged).
+    unroll = int(os.environ.get("EVAL_UNROLL", "4"))
+    if unroll > 1:
+        @jax.jit
+        def fwd(images):  # (unroll, B, H, W, 3)
+            return jax.lax.map(one, images)
+        img = jnp.stack([img] * unroll)
+    else:
+        fwd = jax.jit(one)
 
     for _ in range(WARMUP):
         jax.block_until_ready(fwd(img))
@@ -68,7 +81,7 @@ def bench_eval():
         out = fwd(img)  # pipelined dispatch; one device sync at the end
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
-    return BATCH * ITERS / dt
+    return BATCH * unroll * ITERS / dt
 
 
 def bench_train():

@@ -39,6 +39,11 @@ def main():
 
     import cv2 as cv
     import jax
+    # The box's sitecustomize registers the tunneled TPU backend and can
+    # programmatically override JAX_PLATFORMS; re-assert the caller's
+    # env choice through the config (the reliable route — CLAUDE.md).
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     from dir_tpu.config import ModelConfig

@@ -131,6 +131,14 @@ class TrainConfig:
     # overhead (~8 ms/step through this box's tunnel) with identical
     # math. Host data path only; logging/vis cadence becomes per-call.
     steps_per_call: int = 1
+    # In-loop eval metric: "benchmark" (default) = the offline
+    # apps/eval.py metric (J_regressor GT, cfg root joint, 2D + root
+    # errors) — a deliberate upgrade over the reference's in-loop
+    # numbers; "online" = the reference Trainer's exact metric
+    # (dataset/interhand.py:262-315 — joint-9 root, GT joints straight
+    # from targets), for reproducing its best-checkpoint selection.
+    # Both are oracle-tested against the reference's own code.
+    inloop_metric: str = "benchmark"
     output_dir: str = "./output/dir_tpu"
     checkpoint: str = ""
     continue_train: bool = False

@@ -223,6 +223,62 @@ def batch_metrics(pred_verts_left: jnp.ndarray,
     return out
 
 
+@jax.jit
+def online_batch_metrics(pd_joints_left: jnp.ndarray,
+                         pd_joints_right: jnp.ndarray,
+                         pd_verts_left: jnp.ndarray,
+                         pd_verts_right: jnp.ndarray,
+                         gt_joints_left: jnp.ndarray,
+                         gt_joints_right: jnp.ndarray,
+                         gt_verts_left: jnp.ndarray,
+                         gt_verts_right: jnp.ndarray,
+                         valid_mask: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """The reference's IN-TRAINING metric (dataset/interhand.py:262-315,
+    driven by Trainer.test_model, train.py:156-202) — distinct from the
+    offline benchmark metric above: root is FIXED at joint 9 (MCP), GT
+    joints come straight from the targets (no J_regressor), and the
+    scale align uses the joint9-joint0 bone of those target joints.
+    Oracle-tested against the reference's own evaluate() in
+    tests/test_reference_oracle_data.py::test_ref_online_evaluate.
+
+    Returns per-sample-mean SUMS over valid samples (m) + count;
+    divide by count and x1000 for the reference's printed mm numbers.
+    """
+    m = valid_mask
+    out = {}
+    for side, pj, pv, gj, gv in (
+            ("left", pd_joints_left, pd_verts_left,
+             gt_joints_left, gt_verts_left),
+            ("right", pd_joints_right, pd_verts_right,
+             gt_joints_right, gt_verts_right)):
+        root_gt = gj[:, 9:10]
+        len_gt = jnp.linalg.norm(gj[:, 9] - gj[:, 0], axis=-1)
+        root_pd = pj[:, 9:10]
+        len_pd = jnp.linalg.norm(pj[:, 9] - pj[:, 0], axis=-1)
+        scale = (len_gt / len_pd)[:, None, None]
+        j_err = jnp.linalg.norm((pj - root_pd) * scale - (gj - root_gt),
+                                axis=-1).mean(axis=-1)
+        v_err = jnp.linalg.norm((pv - root_pd) * scale - (gv - root_gt),
+                                axis=-1).mean(axis=-1)
+        out[f"joint_{side}_sum_m"] = jnp.sum(j_err * m)
+        out[f"vert_{side}_sum_m"] = jnp.sum(v_err * m)
+    out["count"] = jnp.sum(m)
+    return out
+
+
+def summarize_online(acc: Dict[str, float]) -> Dict[str, float]:
+    """Accumulated online sums -> the reference test_model's mm means
+    (train.py:177-199)."""
+    n = acc["count"]
+    s = {f"{kind}_mean_{side}_mm": acc[f"{kind}_{side}_sum_m"] / n * 1000
+         for kind in ("joint", "vert") for side in ("left", "right")}
+    s["joint_mean_all_mm"] = (s["joint_mean_left_mm"]
+                              + s["joint_mean_right_mm"]) / 2
+    s["vert_mean_all_mm"] = (s["vert_mean_left_mm"]
+                             + s["vert_mean_right_mm"]) / 2
+    return s
+
+
 def summarize(acc: Dict[str, float]) -> Dict[str, float]:
     """Accumulated sums -> the printed summary of apps/eval.py:294-306."""
     n = acc["count"]

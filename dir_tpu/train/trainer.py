@@ -279,22 +279,39 @@ class Trainer:
                 valid = np.zeros(batch["img"].shape[0], np.float32)
                 valid[: int(batch["_valid"])] = 1.0
                 for si, stage in enumerate(stages):
-                    metrics = evaluate.batch_metrics(
-                        stage["pd_mesh_xyz_left"],
-                        stage["pd_mesh_xyz_right"],
-                        stage["pd_offset"],
-                        jnp.asarray(batch["mesh_3d_left"]),
-                        jnp.asarray(batch["mesh_3d_right"]),
-                        jnp.asarray(batch["camera"]),
-                        jreg_l, jreg_r, jnp.asarray(valid),
-                        root_joint=self.cfg.model.root_joint)
+                    if self.cfg.train.inloop_metric == "online":
+                        # the reference Trainer's exact in-loop metric
+                        # (dataset/interhand.py:262-315)
+                        metrics = evaluate.online_batch_metrics(
+                            stage["pd_joint_xyz_left"],
+                            stage["pd_joint_xyz_right"],
+                            stage["pd_mesh_xyz_left"],
+                            stage["pd_mesh_xyz_right"],
+                            jnp.asarray(batch["joint_3d_left"]),
+                            jnp.asarray(batch["joint_3d_right"]),
+                            jnp.asarray(batch["mesh_3d_left"]),
+                            jnp.asarray(batch["mesh_3d_right"]),
+                            jnp.asarray(valid))
+                    else:
+                        metrics = evaluate.batch_metrics(
+                            stage["pd_mesh_xyz_left"],
+                            stage["pd_mesh_xyz_right"],
+                            stage["pd_offset"],
+                            jnp.asarray(batch["mesh_3d_left"]),
+                            jnp.asarray(batch["mesh_3d_right"]),
+                            jnp.asarray(batch["camera"]),
+                            jreg_l, jreg_r, jnp.asarray(valid),
+                            root_joint=self.cfg.model.root_joint)
                     # one device->host transfer per batch per stage
                     # (a float() per metric would serialize ~10 tiny
                     # syncs each batch)
                     metrics = jax.device_get(metrics)
                     for k, v in metrics.items():
                         accs[si][k] = accs[si].get(k, 0.0) + float(v)
-        summaries = [evaluate.summarize(a) for a in accs]
+        summ = (evaluate.summarize_online
+                if self.cfg.train.inloop_metric == "online"
+                else evaluate.summarize)
+        summaries = [summ(a) for a in accs]
         for si, summary in enumerate(summaries):
             tag = f"stage{si}" if all_stages else "final"
             for k, v in summary.items():

@@ -78,9 +78,15 @@ def test_dataset_eval_no_aug_deterministic(data_dir, manos):
 
 
 def test_train_augmentation_varies(data_dir, manos):
+    """Aug is a pure function of (seed, idx, epoch): repeat draws within
+    an epoch are IDENTICAL (thread-safe, resume-reproducible) and vary
+    across epochs (the loader advances ds.epoch per epoch)."""
     left, right = manos
     ds = InterHandDataset(data_dir, "train", left, right)
-    a, b = ds[0], ds[0]  # rng advances between draws
+    a, a2 = ds[0], ds[0]
+    np.testing.assert_array_equal(a["img"], a2["img"])
+    ds.epoch = 1
+    b = ds[0]
     assert not np.allclose(a["img"], b["img"])
 
 

@@ -288,6 +288,55 @@ def test_ref_eval_metric_block(mano_pkls, root_joint, rng):
         ns["root_loss_list"][0].mean() * 1000, atol=1e-2)
 
 
+def test_ref_online_evaluate(mano_pkls, tmp_path, rng):
+    """The reference's in-training metric — InterHandDataset.evaluate
+    (dataset/interhand.py:262-315, joint-9 root, GT from targets) ==
+    dir_tpu.train.evaluate.online_batch_metrics."""
+    import jax.numpy as jnp
+
+    from dir_tpu.train.evaluate import online_batch_metrics
+
+    ds = _ref_dataset(mano_pkls, str(tmp_path))  # empty dir: size 0 is fine
+
+    B = 3
+
+    def pts(n):
+        return (rng.randn(B, n, 3) * 0.1
+                + np.array([0, 0, 0.6])).astype(np.float32)
+
+    gt_j_l, gt_j_r = pts(21), pts(21)
+    gt_v_l, gt_v_r = pts(778), pts(778)
+    pd_j_l, pd_j_r = pts(21), pts(21)
+    pd_v_l, pd_v_r = pts(778), pts(778)
+
+    outs = {"pd_joint_xyz_left": torch.from_numpy(pd_j_l),
+            "pd_joint_xyz_right": torch.from_numpy(pd_j_r),
+            "pd_mesh_xyz_left": torch.from_numpy(pd_v_l),
+            "pd_mesh_xyz_right": torch.from_numpy(pd_v_r)}
+    targets = {"joint_3d_left": torch.from_numpy(gt_j_l),
+               "joint_3d_right": torch.from_numpy(gt_j_r),
+               "mesh_3d_left": torch.from_numpy(gt_v_l),
+               "mesh_3d_right": torch.from_numpy(gt_v_r)}
+    with torch.no_grad():
+        want = ds.evaluate(outs, targets, {})  # (jl, jr, vl, vr) in mm
+
+    got = {k: float(v) for k, v in online_batch_metrics(
+        jnp.asarray(pd_j_l), jnp.asarray(pd_j_r),
+        jnp.asarray(pd_v_l), jnp.asarray(pd_v_r),
+        jnp.asarray(gt_j_l), jnp.asarray(gt_j_r),
+        jnp.asarray(gt_v_l), jnp.asarray(gt_v_r),
+        jnp.ones(B)).items()}
+    n = got["count"]
+    np.testing.assert_allclose(got["joint_left_sum_m"] / n * 1000,
+                               float(want[0]), rtol=1e-5)
+    np.testing.assert_allclose(got["joint_right_sum_m"] / n * 1000,
+                               float(want[1]), rtol=1e-5)
+    np.testing.assert_allclose(got["vert_left_sum_m"] / n * 1000,
+                               float(want[2]), rtol=1e-5)
+    np.testing.assert_allclose(got["vert_right_sum_m"] / n * 1000,
+                               float(want[3]), rtol=1e-5)
+
+
 def test_ref_local_frames(mano_pkls, rng):
     """Data-side get_local_frame (models/manolayer.py:218-228 +
     build_mano_frame :63-97) == dir_tpu.mano.frames.local_frames."""

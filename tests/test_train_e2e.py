@@ -69,6 +69,17 @@ def test_eval_metrics_reasonable(env):
         assert np.isfinite(summary[key]), key
         assert summary[key] >= 0
 
+    # the reference Trainer's in-loop metric (inloop_metric="online",
+    # dataset/interhand.py:262-315): joint/vert means only
+    trainer.cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, inloop_metric="online"))
+    online = trainer.evaluate()
+    assert set(online) == {
+        "joint_mean_left_mm", "joint_mean_right_mm", "joint_mean_all_mm",
+        "vert_mean_left_mm", "vert_mean_right_mm", "vert_mean_all_mm"}
+    for v in online.values():
+        assert np.isfinite(v) and v >= 0
+
 
 @pytest.mark.slow
 def test_trainer_device_pipeline(env):

@@ -64,7 +64,10 @@ def bench_eval():
     # scanning N independent batches inside one program amortizes it
     # (production equivalent: apps/eval.py streams batches and can stack
     # them the same way; per-batch outputs are returned unchanged).
-    unroll = int(os.environ.get("EVAL_UNROLL", "4"))
+    # 8 measured past 4: 6,126 vs 6,079 img/s (device ceiling at this
+    # 40.9 ms/b256 program is ~6,258; residual is the last ~0.4 ms of
+    # per-dispatch overhead).
+    unroll = int(os.environ.get("EVAL_UNROLL", "8"))
     if unroll > 1:
         @jax.jit
         def fwd(images):  # (unroll, B, H, W, 3)
@@ -89,7 +92,7 @@ def bench_train():
     (mano_precision="high" — the documented training setting,
     dir_tpu/config.py).
 
-    UNROLL (default 4) optimizer steps run per dispatch via lax.scan
+    UNROLL (default 8) optimizer steps run per dispatch via lax.scan
     over stacked batches — the production ``TrainConfig.steps_per_call``
     path (train/steps.py; equivalence test
     tests/test_train_e2e.py::test_unrolled_steps_match_sequential).
@@ -124,7 +127,7 @@ def bench_train():
         "seg": rng.randint(0, 3, size=(b, 256, 256)).astype(np.int32),
         "dense": rng.rand(b, 256, 256, 3).astype(np.float32),
     }
-    unroll = int(os.environ.get("UNROLL", "4"))
+    unroll = int(os.environ.get("UNROLL", "8"))  # 61.05 ms vs 61.43 at 4
     img0 = jnp.asarray(batch["img"][:1])
     if unroll > 1:
         batch = {k: np.stack([v] * unroll) for k, v in batch.items()}

@@ -26,8 +26,8 @@ from dir_tpu.mano.assets import ManoModel
 from dir_tpu.mano.layer import (mano_forward_pca6d_pair,
                                 stack_mano_pair)
 from dir_tpu.models.layers import (MLP1d, Residual, conv_init_normal,
-                                   conv_kernel_init, upsample2x, BN_EPS,
-                                   BN_MOMENTUM)
+                                   conv_kernel_init, stat_barrier,
+                                   upsample2x, BN_EPS, BN_MOMENTUM)
 from dir_tpu.models.resnet import ResNetPyramid
 from dir_tpu.models.gcn import ResSimplePGCN, hand_adjacency
 from dir_tpu.models.transformer import STE
@@ -130,7 +130,7 @@ class AttentionPool(nn.Module):
         c = feat.shape[-1]
         a = nn.Conv(c // 2, (3, 3), padding="SAME", dtype=self.dtype,
                     kernel_init=conv_kernel_init, name="conv1")(feat)
-        a = nn.relu(_bn(train, "bn", self.dtype)(a))
+        a = nn.relu(_bn(train, "bn", self.dtype)(stat_barrier(a, train)))
         a = nn.Conv(1, (1, 1), dtype=self.dtype,
                     kernel_init=conv_kernel_init, name="conv2")(a)
         a = nn.sigmoid(a.astype(jnp.float32))
@@ -302,7 +302,7 @@ class RefineStage(nn.Module):
             fused = nn.Conv(out_ch, (3, 3), padding="SAME", dtype=dt,
                             kernel_init=conv_kernel_init,
                             name="fusion_conv1")(fused)
-        fused = nn.relu(_bn(train, "fusion_bn", dt)(fused))
+        fused = nn.relu(_bn(train, "fusion_bn", dt)(stat_barrier(fused, train)))
         fused = nn.Conv(img_feat.shape[-1], (1, 1), dtype=dt,
                         kernel_init=conv_kernel_init, name="fusion_conv2")(
             fused)
@@ -331,7 +331,7 @@ class SegDenseHead(nn.Module):
         c = x.shape[-1]
         x = nn.Conv(c // 2, (3, 3), padding="SAME", dtype=self.dtype,
                     kernel_init=conv_kernel_init, name="conv1")(x)
-        x = nn.relu(_bn(train, "bn", self.dtype)(x))
+        x = nn.relu(_bn(train, "bn", self.dtype)(stat_barrier(x, train)))
         out = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype,
                       kernel_init=conv_kernel_init, name="conv2")(x)
         return out.astype(jnp.float32)
@@ -385,7 +385,7 @@ class Decoder(nn.Module):
         # dtype; both heads cast their outputs back to fp32 for the loss.
         x = nn.Conv(d, (3, 3), padding="SAME", use_bias=False, dtype=dt,
                     kernel_init=conv_kernel_init, name="final_conv1")(enhance)
-        x = nn.relu(_bn(train, "final_bn", dt)(x))
+        x = nn.relu(_bn(train, "final_bn", dt)(stat_barrier(x, train)))
         x = nn.Conv(d, (1, 1), dtype=dt, kernel_init=conv_kernel_init,
                     name="final_conv2")(x)
         seg = SegDenseHead(dtype=dt, name="seg")(x, train)

@@ -21,6 +21,27 @@ BN_EPS = 1e-5
 conv_kernel_init = nn.initializers.variance_scaling(2.0, "fan_out",
                                                     "truncated_normal")
 
+# Train-mode BN-stat fusion control (perf experiment, BN_BARRIER=1):
+# XLA fuses the per-channel batch-stat reductions into the producing
+# conv's epilogue ("convert_reduce_fusion" kernels); the reductions
+# serialize against the conv and a 0.06 ms conv can cost >1 ms fused
+# (docs/DESIGN.md §7). Barriering the BN input forbids that fusion:
+# the conv runs pure and the stats become a separate bandwidth-bound
+# re-read. MEASURED NEGATIVE (v5e, b64, UNROLL=4): 67.9 vs 61.4
+# ms/step — the barrier also forces extra materialization and blocks
+# profitable normalize/backward fusions, losing more than the stat
+# epilogue costs. Kept off by default; flag retained so the
+# experiment is reproducible on future XLA versions.
+import os as _os
+
+_BN_BARRIER = _os.environ.get("BN_BARRIER", "0") == "1"
+
+
+def stat_barrier(x: jnp.ndarray, train: bool) -> jnp.ndarray:
+    if train and _BN_BARRIER:
+        return jax.lax.optimization_barrier(x)
+    return x
+
 
 def conv_init_normal(std: float):
     return nn.initializers.normal(stddev=std)
@@ -46,7 +67,8 @@ class ConvBNRelu(nn.Module):
         if self.use_bn:
             x = nn.BatchNorm(use_running_average=not train,
                              momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                             dtype=self.dtype, name="bn")(x)
+                             dtype=self.dtype,
+                             name="bn")(stat_barrier(x, train))
         if self.use_relu:
             x = nn.relu(x)
         return x
@@ -75,15 +97,15 @@ class Residual(nn.Module):
                                 momentum=BN_MOMENTUM, epsilon=BN_EPS,
                                 dtype=self.dtype, name=name)
 
-        out = nn.relu(bn("bn1")(x))
+        out = nn.relu(bn("bn1")(stat_barrier(x, train)))
         out = nn.Conv(half, (1, 1), use_bias=True,
                       kernel_init=conv_kernel_init, dtype=self.dtype,
                       name="conv1")(out)
-        out = nn.relu(bn("bn2")(out))
+        out = nn.relu(bn("bn2")(stat_barrier(out, train)))
         out = nn.Conv(half, (3, 3), padding="SAME", use_bias=True,
                       kernel_init=conv_kernel_init, dtype=self.dtype,
                       name="conv2")(out)
-        out = nn.relu(bn("bn3")(out))
+        out = nn.relu(bn("bn3")(stat_barrier(out, train)))
         out = nn.Conv(self.features, (1, 1), use_bias=True,
                       kernel_init=conv_kernel_init, dtype=self.dtype,
                       name="conv3")(out)
@@ -106,7 +128,8 @@ class MLP1d(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, dtype=self.dtype, name="bn")(x)
+                         epsilon=BN_EPS, dtype=self.dtype,
+                         name="bn")(stat_barrier(x, train))
         x = nn.relu(x)
         x = nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
         return x

@@ -20,7 +20,14 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from dir_tpu.models.layers import BN_EPS, BN_MOMENTUM, conv_kernel_init
+import os as _os
+
+from dir_tpu.models.layers import (BN_EPS, BN_MOMENTUM, conv_kernel_init,
+                                   stat_barrier)
+
+# Split-K weight-gradient experiment for the backbone's 1x1 convs
+# (see ops/conv1x1.py). 0 = standard nn.Conv.
+_CONV1X1_SPLITK = int(_os.environ.get("CONV1X1_SPLITK", "0"))
 
 
 class Bottleneck(nn.Module):
@@ -56,11 +63,18 @@ class Bottleneck(nn.Module):
                                 momentum=BN_MOMENTUM, epsilon=BN_EPS,
                                 dtype=self.dtype, name=name)
 
+        def conv_1x1(features, name, inp):
+            if _CONV1X1_SPLITK:
+                from dir_tpu.ops.conv1x1 import Conv1x1SplitK
+                return Conv1x1SplitK(features, split=_CONV1X1_SPLITK,
+                                     dtype=self.dtype, name=name)(inp)
+            return nn.Conv(features, (1, 1), use_bias=False,
+                           kernel_init=conv_kernel_init, dtype=self.dtype,
+                           name=name)(inp)
+
         identity = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False,
-                      kernel_init=conv_kernel_init, dtype=self.dtype,
-                      name="conv1")(x)
-        out = nn.relu(bn("bn1")(out))
+        out = conv_1x1(self.planes, "conv1", x)
+        out = nn.relu(bn("bn1")(stat_barrier(out, train)))
         # Explicit symmetric padding=1, matching torch Conv2d(padding=1)
         # (reference models/backbone/resnet.py:35-37). "SAME" is NOT
         # equivalent under stride 2: XLA resolves it to asymmetric (0, 1)
@@ -69,18 +83,16 @@ class Bottleneck(nn.Module):
                       padding=((1, 1), (1, 1)), use_bias=False,
                       kernel_init=conv_kernel_init, dtype=self.dtype,
                       name="conv2")(out)
-        out = nn.relu(bn("bn2")(out))
-        out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
-                      kernel_init=conv_kernel_init, dtype=self.dtype,
-                      name="conv3")(out)
-        out = bn("bn3")(out)
+        out = nn.relu(bn("bn2")(stat_barrier(out, train)))
+        out = conv_1x1(self.planes * self.expansion, "conv3", out)
+        out = bn("bn3")(stat_barrier(out, train))
 
         if self.downsample:
             identity = nn.Conv(self.planes * self.expansion, (1, 1),
                                strides=(self.stride, self.stride),
                                use_bias=False, kernel_init=conv_kernel_init,
                                dtype=self.dtype, name="down_conv")(x)
-            identity = bn("down_bn")(identity)
+            identity = bn("down_bn")(stat_barrier(identity, train))
         return nn.relu(out + identity)
 
     def _fused_infer(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -178,7 +190,8 @@ class ResNetPyramid(nn.Module):
                         dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train,
                          momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                         dtype=self.dtype, name="bn1")(x)
+                         dtype=self.dtype,
+                         name="bn1")(stat_barrier(x, train))
         x = nn.relu(x)
         # reduce_window + select_and_scatter cost ~2.7 ms/step (b64) —
         # ~8x roofline — but the shifted-strided-slice reformulation

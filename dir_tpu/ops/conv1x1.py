@@ -36,7 +36,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from dir_tpu.models.layers import conv_kernel_init
+# Kaiming-normal fan_out — same init as models/layers.conv_kernel_init
+# (not imported: ops/ must not depend on models/).
+conv_kernel_init = nn.initializers.variance_scaling(2.0, "fan_out",
+                                                    "truncated_normal")
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))

@@ -204,3 +204,32 @@ def test_max_pool_3x3_s2_matches_reduce_window(rng):
     g_got = jax.grad(lambda v: (max_pool_3x3_s2(v) ** 2).sum())(x)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
                                atol=1e-6)
+
+
+def test_bn_stat_barrier_is_identity(rng, monkeypatch):
+    """The BN_BARRIER perf experiment (layers.stat_barrier) must not
+    change numerics: optimization_barrier is the identity, so forward
+    outputs, BN stat updates, and gradients match the unbarriered path
+    exactly on CPU (same op order, only fusion boundaries differ)."""
+    import dir_tpu.models.layers as L
+    x = jnp.asarray(rng.randn(2, 16, 16, 8).astype(np.float32))
+    mod = Residual(16)
+    vars_ = mod.init(jax.random.PRNGKey(0), x, train=True)
+
+    def run():
+        y, upd = mod.apply(vars_, x, train=True, mutable=["batch_stats"])
+        g = jax.grad(lambda p: mod.apply(
+            {"params": p, "batch_stats": vars_["batch_stats"]}, x,
+            train=True, mutable=["batch_stats"])[0].sum())(vars_["params"])
+        return y, upd["batch_stats"], g
+
+    monkeypatch.setattr(L, "_BN_BARRIER", False)
+    y0, s0, g0 = run()
+    monkeypatch.setattr(L, "_BN_BARRIER", True)
+    y1, s1, g1 = run()
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+    for a, b in zip(jax.tree.leaves(s0), jax.tree.leaves(s1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)

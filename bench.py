@@ -96,7 +96,7 @@ def bench_train():
     over stacked batches — the production ``TrainConfig.steps_per_call``
     path (train/steps.py; equivalence test
     tests/test_train_e2e.py::test_unrolled_steps_match_sequential).
-    Reported time is per OPTIMIZER STEP; measured 64.2 -> 61.5 ms by
+    Reported time is per OPTIMIZER STEP; measured 64.2 -> 60.9 ms by
     amortizing this box's ~3 ms/dispatch tunnel overhead."""
     from dir_tpu.config import ModelConfig, TrainConfig
     from dir_tpu.mano import synthetic_mano, fix_left_shapedirs

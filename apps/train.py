@@ -47,6 +47,9 @@ def main():
                          "Tester, train.py:246-336)")
     ap.add_argument("--device_pipeline", action="store_true",
                     help="fused on-device preprocessing (host decodes only)")
+    ap.add_argument("--grad_accum", type=int, default=1,
+                    help="micro-batches accumulated into one optimizer "
+                         "step (effective batch = batch_size * this)")
     opt = ap.parse_args()
 
     from dir_tpu.config import (Config, DataConfig, ModelConfig,
@@ -68,7 +71,8 @@ def main():
                               lr=opt.lr, lr_scheduler=opt.lr_scheduler,
                               seed=opt.seed, output_dir=opt.output,
                               checkpoint=opt.resume,
-                              continue_train=bool(opt.resume)),
+                              continue_train=bool(opt.resume),
+                              grad_accum=opt.grad_accum),
             mano_assets=opt.mano_path,
         )
     mano_l, mano_r = load_mano_pair(opt.mano_path)

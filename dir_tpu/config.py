@@ -131,6 +131,15 @@ class TrainConfig:
     # overhead (~8 ms/step through this box's tunnel) with identical
     # math. Host data path only; logging/vis cadence becomes per-call.
     steps_per_call: int = 1
+    # Micro-batches accumulated (f32 gradient sum, averaged) into ONE
+    # optimizer step (train/steps.py accum_step). batch_size is the
+    # MICRO-batch size: each optimizer step consumes grad_accum
+    # consecutive loader batches, for an effective batch of
+    # batch_size * grad_accum. New capability over the reference, which
+    # can only shrink its batch-64 config when memory-bound
+    # (config.py:25). Mutually exclusive with steps_per_call > 1; host
+    # data path only.
+    grad_accum: int = 1
     # In-loop eval metric: "benchmark" (default) = the offline
     # apps/eval.py metric (J_regressor GT, cfg root joint, 2D + root
     # errors) — a deliberate upgrade over the reference's in-loop

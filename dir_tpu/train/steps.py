@@ -27,7 +27,8 @@ from dir_tpu.train.state import TrainState
 
 def make_train_step(model, tx, cfg: ModelConfig, mano_left: ManoModel,
                     mano_right: ManoModel, mesh: Mesh | None = None,
-                    donate: bool = True, unroll: int = 1) -> Callable:
+                    donate: bool = True, unroll: int = 1,
+                    grad_accum: int = 1) -> Callable:
     """Build the jitted train step: (state, batch) -> (state, loss_dict).
 
     batch: {"img": (B, H, W, 3)} plus every target key consumed by
@@ -41,27 +42,62 @@ def make_train_step(model, tx, cfg: ModelConfig, mano_left: ManoModel,
     (equivalence test: tests/test_train_e2e.py::test_unrolled_steps).
     Returns the LAST step's loss_dict (what a per-N-iteration logger
     reads).
+
+    grad_accum > 1: batch leaves carry a leading ``grad_accum`` axis of
+    MICRO-batches; gradients are f32-accumulated over a ``lax.scan`` and
+    averaged into ONE optimizer step. New capability over the reference
+    (which can only shrink its batch 64 when memory-bound,
+    config.py:25): trains the parity configuration's effective batch on
+    devices that cannot hold it. BN batch statistics follow per-micro
+    -batch semantics — each micro forward normalizes with its own batch
+    stats and chains the running stats, exactly what the reference
+    would compute stepping smaller batches — and the returned loss_dict
+    is the micro-mean (= the full-batch loss for the mean-reduced
+    reference terms). Mutually exclusive with ``unroll``.
     """
+    if unroll > 1 and grad_accum > 1:
+        raise ValueError("unroll and grad_accum are mutually exclusive")
+
+    def loss_for(params, stats, batch):
+        out, updates = model.apply(
+            {"params": params, "batch_stats": stats},
+            batch["img"], mano_left, mano_right, train=True,
+            mutable=["batch_stats"])
+        loss_dict = dir_losses(out, batch, cfg, mano_left.faces,
+                               mano_right.faces, fused_stages=True)
+        return total_loss(loss_dict), (updates["batch_stats"], loss_dict)
 
     def one_step(state: TrainState, batch: dict):
-        def loss_fn(params):
-            out, updates = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch["img"], mano_left, mano_right, train=True,
-                mutable=["batch_stats"])
-            loss_dict = dir_losses(out, batch, cfg, mano_left.faces,
-                                   mano_right.faces, fused_stages=True)
-            return total_loss(loss_dict), (updates["batch_stats"], loss_dict)
-
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, (new_stats, loss_dict)), grads = grad_fn(state.params)
+        grad_fn = jax.value_and_grad(loss_for, has_aux=True)
+        (_, (new_stats, loss_dict)), grads = grad_fn(
+            state.params, state.batch_stats, batch)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(step=state.step + 1, params=new_params,
                                batch_stats=new_stats, opt_state=new_opt)
         return new_state, loss_dict
 
-    if unroll == 1:
+    def accum_step(state: TrainState, batches: dict):
+        def micro(carry, batch):
+            stats, gsum = carry
+            grads, (new_stats, loss_dict) = jax.grad(
+                loss_for, has_aux=True)(state.params, stats, batch)
+            gsum = jax.tree.map(jnp.add, gsum, grads)
+            return (new_stats, gsum), loss_dict
+
+        zeros = jax.tree.map(jnp.zeros_like, state.params)
+        (new_stats, gsum), losses = jax.lax.scan(
+            micro, (state.batch_stats, zeros), batches)
+        grads = jax.tree.map(lambda g: g / grad_accum, gsum)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               batch_stats=new_stats, opt_state=new_opt)
+        return new_state, jax.tree.map(lambda x: x.mean(0), losses)
+
+    if grad_accum > 1:
+        step = accum_step
+    elif unroll == 1:
         step = one_step
     else:
         def step(state: TrainState, batches: dict):
@@ -73,9 +109,9 @@ def make_train_step(model, tx, cfg: ModelConfig, mano_left: ManoModel,
 
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh)
-    if unroll > 1:
-        # leading axis is the step index; the per-step batch axis
-        # (second) is the sharded one
+    if unroll > 1 or grad_accum > 1:
+        # leading axis is the step / micro-batch index; the per-step
+        # batch axis (second) is the sharded one
         data = NamedSharding(mesh, P(None, "data"))
     return jax.jit(
         step,

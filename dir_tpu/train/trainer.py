@@ -117,13 +117,18 @@ class Trainer:
                     init_stats, variables["batch_stats"])
         self.state = create_train_state(variables, self.tx)
 
-        if c.train.steps_per_call > 1 and c.data.device_pipeline:
+        if ((c.train.steps_per_call > 1 or c.train.grad_accum > 1)
+                and c.data.device_pipeline):
             raise ValueError(
-                "steps_per_call > 1 requires the host data path "
-                "(stacked batches); disable data.device_pipeline")
+                "steps_per_call / grad_accum > 1 require the host data "
+                "path (stacked batches); disable data.device_pipeline")
+        if c.train.steps_per_call > 1 and c.train.grad_accum > 1:
+            raise ValueError(
+                "steps_per_call and grad_accum are mutually exclusive")
         self.train_step = make_train_step(
             self.model, self.tx, c.model, self.mano_left, self.mano_right,
-            mesh=self.mesh, unroll=c.train.steps_per_call)
+            mesh=self.mesh, unroll=c.train.steps_per_call,
+            grad_accum=c.train.grad_accum)
         self.eval_step = make_eval_step(
             self.model, self.mano_left, self.mano_right, mesh=self.mesh)
 
@@ -152,7 +157,8 @@ class Trainer:
         batches (leading axis = step index; remainder dropped like
         drop_last). Each scan step consumes its own batch — identical
         math to dispatching them one by one."""
-        spc = self.cfg.train.steps_per_call
+        spc = max(self.cfg.train.steps_per_call,
+                  self.cfg.train.grad_accum)
         if spc <= 1:
             yield from loader
             return
@@ -188,7 +194,8 @@ class Trainer:
                     else:
                         dev_batch = shard_batch(
                             {k: batch[k] for k in _BATCH_KEYS}, self.mesh,
-                            leading_steps=c.train.steps_per_call > 1)
+                            leading_steps=(c.train.steps_per_call > 1
+                                           or c.train.grad_accum > 1))
                     self.state, loss_dict = self.train_step(
                         self.state, dev_batch)
                     if it % c.train.print_every == 0:
@@ -208,7 +215,7 @@ class Trainer:
                         vis_batch = (dev_batch
                                      if self.preprocess_train is not None
                                      else batch)
-                        if c.train.steps_per_call > 1:
+                        if c.train.steps_per_call > 1 or c.train.grad_accum > 1:
                             # stacked call: draw the last step's batch
                             vis_batch = {k: v[-1]
                                          for k, v in vis_batch.items()}

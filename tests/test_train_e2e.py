@@ -433,3 +433,126 @@ def test_trainer_resume_trajectory(env):
 def ckpt_meta_epoch(out_dir):
     from dir_tpu.train import checkpoint as ckpt
     return ckpt.load_meta(os.path.join(out_dir, "checkpoint")).get("epoch")
+
+
+@pytest.mark.slow
+def test_grad_accum_matches_manual_accumulation(env):
+    """make_train_step(grad_accum=2) == hand-computed accumulation:
+    per-micro grads at the SAME initial params (BN stats chained
+    micro-to-micro), f32-averaged, ONE optimizer update. Catches the
+    classic accumulation bugs (updating params mid-accumulation, wrong
+    stat threading, sum instead of mean)."""
+    import jax.numpy as jnp
+    import optax
+
+    from dir_tpu.config import ModelConfig
+    from dir_tpu.models.dir import DIR
+    from dir_tpu.models.losses import dir_losses, total_loss
+    from dir_tpu.train.state import create_train_state
+    from dir_tpu.train.steps import make_train_step
+
+    cfg, left, right = env
+    mcfg = ModelConfig(backbone_layers=(1, 1, 1, 1))
+    model = DIR(mcfg)
+    b, s = 2, 64
+
+    def mk_batch(seed):
+        r = np.random.RandomState(seed)
+        return {
+            "img": r.randn(b, s, s, 3).astype(np.float32),
+            "joint_2d_left": r.randn(b, 21, 3).astype(np.float32),
+            "joint_2d_right": r.randn(b, 21, 3).astype(np.float32),
+            "mesh_2d_left": r.randn(b, 778, 3).astype(np.float32),
+            "mesh_2d_right": r.randn(b, 778, 3).astype(np.float32),
+            "joint_3d_left": r.randn(b, 21, 3).astype(np.float32) * 0.1,
+            "joint_3d_right": r.randn(b, 21, 3).astype(np.float32) * 0.1,
+            "mesh_3d_left": r.randn(b, 778, 3).astype(np.float32) * 0.1,
+            "mesh_3d_right": r.randn(b, 778, 3).astype(np.float32) * 0.1,
+            "center_left": r.randn(b, 1, 3).astype(np.float32) * 0.1,
+            "center_right": r.randn(b, 1, 3).astype(np.float32) * 0.1,
+            "seg": r.randint(0, 3, size=(b, s, s)).astype(np.int32),
+            "dense": r.rand(b, s, s, 3).astype(np.float32),
+        }
+
+    b1, b2 = mk_batch(11), mk_batch(12)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.asarray(b1["img"][:1]), left, right)
+    tx = optax.sgd(1e-3, momentum=0.9)  # see unroll test for rationale
+
+    # manual oracle: replicate steps.loss_for outside make_train_step
+    def loss_for(params, stats, batch):
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        out, updates = model.apply(
+            {"params": params, "batch_stats": stats}, batch["img"],
+            left, right, train=True, mutable=["batch_stats"])
+        ld = dir_losses(out, batch, mcfg, left.faces, right.faces,
+                        fused_stages=True)
+        return total_loss(ld), updates["batch_stats"]
+
+    p0, s0 = variables["params"], variables["batch_stats"]
+    g1, s1 = jax.grad(loss_for, has_aux=True)(p0, s0, b1)
+    g2, s2 = jax.grad(loss_for, has_aux=True)(p0, s1, b2)
+    gavg = jax.tree.map(lambda a, c: (a + c) / 2.0, g1, g2)
+    state0 = create_train_state(variables, tx)
+    updates, _ = tx.update(gavg, state0.opt_state, p0)
+    exp_params = optax.apply_updates(p0, updates)
+    # the buggy-hypothesis params: SUM instead of MEAN of micro-grads
+    updates_sum, _ = tx.update(jax.tree.map(lambda g: 2.0 * g, gavg),
+                               state0.opt_state, p0)
+    exp_params_sum = optax.apply_updates(p0, updates_sum)
+
+    step = make_train_step(model, tx, mcfg, left, right, donate=False,
+                           grad_accum=2)
+    stacked = {k: np.stack([b1[k], b2[k]]) for k in b1}
+    state1, loss = step(create_train_state(variables, tx), stacked)
+
+    assert int(state1.step) == 1  # one optimizer step for two micros
+    assert np.isfinite(float(sum(jax.tree.map(float, loss).values())))
+    # Scan-vs-standalone reassociates fp32 and the model's gradient
+    # crosses discrete boundaries (splat masks, sort ties), so exact
+    # param equality is out (see test_unrolled_steps_match_sequential).
+    # The discriminating check: the discrepancy must be small RELATIVE
+    # TO THE APPLIED UPDATE — every classic accumulation bug (sum
+    # instead of mean, params updated mid-accumulation, dropped micro
+    # -batch) shifts params at ratio ~1 of the update scale.
+    # sharp discriminator: on every leaf where mean-vs-sum accumulation
+    # is distinguishable, the produced params must sit closer to MEAN
+    # (a sum bug lands ON exp_params_sum; mid-accumulation updates and
+    # dropped micro-batches also land far from MEAN)
+    def closer_to_mean(a, cm, cs):
+        a, cm, cs = map(np.asarray, (a, cm, cs))
+        if np.max(np.abs(cm - cs)) > 1e-7:
+            assert np.max(np.abs(a - cm)) < np.max(np.abs(a - cs))
+
+    jax.tree.map(closer_to_mean, state1.params, exp_params,
+                 exp_params_sum)
+
+    def update_relative(a, c, z):
+        diff = np.max(np.abs(np.asarray(a) - np.asarray(c)))
+        upd = np.max(np.abs(np.asarray(c) - np.asarray(z)))
+        # measured chaos ratio up to ~0.45 (this program crosses more
+        # discrete boundaries than the unroll test's: splat masks and
+        # pool argmaxes flip under scan-body refusion, and small
+        # zero-init leaves have tiny update scales); every mechanics
+        # bug reads ~1.0 and is additionally caught by closer_to_mean
+        assert diff <= 0.6 * upd + 1e-6, (diff, upd)
+
+    jax.tree.map(update_relative, state1.params, exp_params, p0)
+    jax.tree.map(
+        lambda a, c: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), rtol=1e-2, atol=1e-3),
+        state1.batch_stats, s2)
+
+
+def test_grad_accum_unroll_mutually_exclusive(env):
+    import optax
+
+    from dir_tpu.config import ModelConfig
+    from dir_tpu.models.dir import DIR
+    from dir_tpu.train.steps import make_train_step
+
+    cfg, left, right = env
+    mcfg = ModelConfig(backbone_layers=(1, 1, 1, 1))
+    with pytest.raises(ValueError):
+        make_train_step(DIR(mcfg), optax.sgd(1e-3), mcfg, left, right,
+                        unroll=2, grad_accum=2)

@@ -16,6 +16,7 @@ Layout:
     dir_tpu.data      — InterHand2.6M pipeline, augmentation, synthetic data
     dir_tpu.parallel  — device mesh / sharding helpers
     dir_tpu.train     — train/eval steps, trainer, checkpointing
+    dir_tpu.serve     — AOT export / serving artifacts (jax.export)
     dir_tpu.utils     — logging, misc
 """
 

@@ -21,24 +21,28 @@ BN_EPS = 1e-5
 conv_kernel_init = nn.initializers.variance_scaling(2.0, "fan_out",
                                                     "truncated_normal")
 
-# Train-mode BN-stat fusion control (perf experiment, BN_BARRIER=1):
+# Train-mode BN-stat fusion control (perf experiment, BN_BARRIER=N):
 # XLA fuses the per-channel batch-stat reductions into the producing
 # conv's epilogue ("convert_reduce_fusion" kernels); the reductions
 # serialize against the conv and a 0.06 ms conv can cost >1 ms fused
 # (docs/DESIGN.md §7). Barriering the BN input forbids that fusion:
 # the conv runs pure and the stats become a separate bandwidth-bound
-# re-read. MEASURED NEGATIVE (v5e, b64, UNROLL=4): 67.9 vs 61.4
-# ms/step — the barrier also forces extra materialization and blocks
+# re-read. BN_BARRIER=N barriers only spatial inputs with H*W >= N, so
+# the experiment can target the layer1/stem shapes where the fused
+# kernels are furthest from light (N=1: everywhere; 0/unset: off).
+# MEASURED NEGATIVE at N=1 (v5e, b64, UNROLL=4): 67.9 vs 61.4 ms/step
+# — the blanket barrier forces extra materialization and blocks
 # profitable normalize/backward fusions, losing more than the stat
 # epilogue costs. Kept off by default; flag retained so the
-# experiment is reproducible on future XLA versions.
+# experiment is reproducible selectively and on future XLA versions.
 import os as _os
 
-_BN_BARRIER = _os.environ.get("BN_BARRIER", "0") == "1"
+_BN_BARRIER = int(_os.environ.get("BN_BARRIER", "0"))
 
 
 def stat_barrier(x: jnp.ndarray, train: bool) -> jnp.ndarray:
-    if train and _BN_BARRIER:
+    if (train and _BN_BARRIER and x.ndim == 4
+            and x.shape[1] * x.shape[2] >= _BN_BARRIER):
         return jax.lax.optimization_barrier(x)
     return x
 

@@ -125,6 +125,49 @@ class Bottleneck(nn.Module):
             wd, bd, interpret=jax.default_backend() != "tpu")
 
 
+class BasicBlock(nn.Module):
+    """Two-3x3-conv residual block (reference models/backbone/resnet.py:36-83).
+
+    Used by the reference's vendored resnet18/34 constructors
+    (resnet.py:271-296); DIR itself hardcodes resnet50
+    (models/dir.py:490), so this exists for constructor-surface parity.
+    Stride sits on the FIRST conv (unlike Bottleneck v1.5's second)."""
+
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    expansion: int = 1
+    dtype: object = jnp.float32
+    fused_eval: bool = False  # accepted for API symmetry; no fused path
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        def bn(name):
+            return nn.BatchNorm(use_running_average=not train,
+                                momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                                dtype=self.dtype, name=name)
+
+        def conv_3x3(name, inp, stride):
+            # symmetric padding=1 — see the Bottleneck conv2 comment
+            return nn.Conv(self.planes, (3, 3), strides=(stride, stride),
+                           padding=((1, 1), (1, 1)), use_bias=False,
+                           kernel_init=conv_kernel_init, dtype=self.dtype,
+                           name=name)(inp)
+
+        identity = x
+        out = conv_3x3("conv1", x, self.stride)
+        out = nn.relu(bn("bn1")(stat_barrier(out, train)))
+        out = conv_3x3("conv2", out, 1)
+        out = bn("bn2")(stat_barrier(out, train))
+        if self.downsample:
+            identity = nn.Conv(self.planes * self.expansion, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, kernel_init=conv_kernel_init,
+                               dtype=self.dtype, name="down_conv")(x)
+            identity = bn("down_bn")(stat_barrier(identity, train))
+        return nn.relu(out + identity)
+
+
 def space_to_depth(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
     """(B, H, W, C) -> (B, H/b, W/b, b*b*C), channel index
     ((a*b)+bb)*C + c for intra-block offset (a, bb)."""
@@ -170,6 +213,7 @@ class ResNetPyramid(nn.Module):
     """
 
     layers: Sequence[int] = (3, 4, 6, 3)  # resnet50
+    block: str = "bottleneck"  # "bottleneck" (expansion 4) | "basic" (1)
     dtype: object = jnp.float32
     stem: str = "conv7"
     fused_eval: bool = False  # see Bottleneck.fused_eval
@@ -204,18 +248,35 @@ class ResNetPyramid(nn.Module):
 
         feats = []
         planes = (64, 128, 256, 512)
+        blk = Bottleneck if self.block == "bottleneck" else BasicBlock
+        expansion = 4 if self.block == "bottleneck" else 1
         for stage, (blocks, p) in enumerate(zip(self.layers, planes)):
             stride = 1 if stage == 0 else 2
-            x = Bottleneck(p, stride=stride, downsample=True,
-                           dtype=self.dtype, fused_eval=self.fused_eval,
-                           name=f"layer{stage + 1}_0")(x, train)
+            # torchvision adds the 1x1 downsample exactly when the
+            # residual shapes mismatch (resnet.py:192-199): always for
+            # Bottleneck's layerN_0 (channel expansion), but NOT for
+            # BasicBlock's layer1_0 (64ch in, 64ch out, stride 1).
+            down = stride != 1 or x.shape[-1] != p * expansion
+            x = blk(p, stride=stride, downsample=down,
+                    dtype=self.dtype, fused_eval=self.fused_eval,
+                    name=f"layer{stage + 1}_0")(x, train)
             for b in range(1, blocks):
-                x = Bottleneck(p, dtype=self.dtype,
-                               fused_eval=self.fused_eval,
-                               name=f"layer{stage + 1}_{b}")(x, train)
+                x = blk(p, dtype=self.dtype,
+                        fused_eval=self.fused_eval,
+                        name=f"layer{stage + 1}_{b}")(x, train)
             feats.append(x)
         return feats
 
 
 def resnet50() -> ResNetPyramid:
     return ResNetPyramid(layers=(3, 4, 6, 3))
+
+
+def resnet18() -> ResNetPyramid:
+    """Reference resnet.py:271-273 (vendored, unused by DIR)."""
+    return ResNetPyramid(layers=(2, 2, 2, 2), block="basic")
+
+
+def resnet34() -> ResNetPyramid:
+    """Reference resnet.py:276-296 (vendored, unused by DIR)."""
+    return ResNetPyramid(layers=(3, 4, 6, 3), block="basic")

@@ -156,16 +156,36 @@ def _entries_bottleneck(tpre, fpre, has_down):
     return out
 
 
+def _entries_basicblock(tpre, fpre, has_down):
+    """BasicBlock (reference resnet.py:36-83) — resnet18/34 only."""
+    out = []
+    for i in (1, 2):
+        out += _entries_conv2d(f"{tpre}.conv{i}", fpre + (f"conv{i}",),
+                               bias=False)
+        out += _entries_bn(f"{tpre}.bn{i}", fpre + (f"bn{i}",))
+    if has_down:
+        out += _entries_conv2d(f"{tpre}.downsample.0", fpre + ("down_conv",),
+                               bias=False)
+        out += _entries_bn(f"{tpre}.downsample.1", fpre + ("down_bn",))
+    return out
+
+
 def resnet_mapping(tpre="backbone", fpre=("backbone",),
-                   layers=(3, 4, 6, 3)) -> List[Entry]:
+                   layers=(3, 4, 6, 3), block="bottleneck") -> List[Entry]:
     sep = "." if tpre else ""
     out = _entries_conv2d(f"{tpre}{sep}conv1", fpre + ("conv1",), bias=False)
     out += _entries_bn(f"{tpre}{sep}bn1", fpre + ("bn1",))
+    entries = (_entries_bottleneck if block == "bottleneck"
+               else _entries_basicblock)
     for s, blocks in enumerate(layers):
         for b in range(blocks):
-            out += _entries_bottleneck(
+            # downsample exists when residual shapes mismatch
+            # (torchvision resnet.py:192-199): every layerN_0 for
+            # Bottleneck, but only stride-2 stages for BasicBlock.
+            has_down = (b == 0 and (block == "bottleneck" or s > 0))
+            out += entries(
                 f"{tpre}{sep}layer{s + 1}.{b}", fpre + (f"layer{s + 1}_{b}",),
-                has_down=(b == 0))
+                has_down=has_down)
     return out
 
 

@@ -85,6 +85,13 @@ def test_run_reference_parity_script(tmp_path):
 
 @pytest.mark.slow
 def test_eval_cli_smoke(tmp_path, monkeypatch, capsys):
+    # The box exports JAX_PLATFORMS=axon (the tunneled TPU) and the
+    # apps re-assert the env's platform choice over conftest's cpu
+    # config — pin cpu so in-process CLI tests never ride the tunnel
+    # (ONE TPU client at a time; CLAUDE.md).
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
     from dir_tpu.data import synthetic
     from dir_tpu.mano import synthetic_mano, fix_left_shapedirs
 
@@ -107,3 +114,20 @@ def test_eval_cli_smoke(tmp_path, monkeypatch, capsys):
     errs = np.loadtxt(os.path.join(out_dir, "joint_left_error.txt"))
     assert errs.shape == (3, 21)
     assert np.isfinite(errs).all()
+
+
+@pytest.mark.slow
+def test_export_cli_smoke(tmp_path, monkeypatch):
+    """apps/export.py end-to-end: random tiny model -> artifact ->
+    --check reloads it and verifies outputs (dir_tpu/serve.py)."""
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")  # see eval smoke note
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    out = str(tmp_path / "dir.stablehlo")
+    app = _load_app("export")
+    monkeypatch.setattr(sys, "argv", [
+        "export", "--model", "random", "--synthetic_mano",
+        "--backbone_layers", "1,1,1,1", "--batch", "2",
+        "--out", out, "--check"])
+    app.main()  # SystemExit on failed roundtrip check
+    assert os.path.getsize(out) > 1_000_000  # weights embedded

@@ -223,9 +223,9 @@ def test_bn_stat_barrier_is_identity(rng, monkeypatch):
             train=True, mutable=["batch_stats"])[0].sum())(vars_["params"])
         return y, upd["batch_stats"], g
 
-    monkeypatch.setattr(L, "_BN_BARRIER", False)
+    monkeypatch.setattr(L, "_BN_BARRIER", 0)
     y0, s0, g0 = run()
-    monkeypatch.setattr(L, "_BN_BARRIER", True)
+    monkeypatch.setattr(L, "_BN_BARRIER", 1)  # threshold 1 = everywhere
     y1, s1, g1 = run()
     np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
     for a, b in zip(jax.tree.leaves(s0), jax.tree.leaves(s1)):

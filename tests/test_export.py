@@ -1,0 +1,74 @@
+"""Serving-artifact roundtrip tests (dir_tpu/serve.py, jax.export).
+
+The reference has no export/serving surface (eval rebuilds the model
+from source, apps/eval.py:87-138); these tests pin the new capability:
+serialize the jitted inference step to a StableHLO artifact, reload it
+WITHOUT the model/flax/MANO objects, and get bit-identical outputs on
+the same backend.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+pytestmark = pytest.mark.slow  # full tiny-model CPU compiles
+
+from dir_tpu.config import ModelConfig
+from dir_tpu.mano import synthetic_mano, fix_left_shapedirs
+from dir_tpu.models.dir import DIR
+from dir_tpu import serve
+
+CFG = ModelConfig(backbone_layers=(1, 1, 1, 1))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mano_r = synthetic_mano("right", seed=0)
+    mano_l = fix_left_shapedirs(synthetic_mano("left", seed=0), mano_r)
+    model = DIR(CFG)
+    img = jnp.zeros((2, 256, 256, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img, mano_l, mano_r)
+    return model, variables, mano_l, mano_r
+
+
+def test_export_roundtrip_fixed_batch(setup, rng, tmp_path):
+    model, variables, mano_l, mano_r = setup
+    blob = serve.export_infer(model, variables, mano_l, mano_r,
+                              batch_size=2)
+    assert blob.startswith(serve._MAGIC)
+
+    path = str(tmp_path / "dir.stablehlo")
+    serve.save(path, blob)
+    fn = serve.load(path)
+
+    img = jnp.asarray(rng.randn(2, 256, 256, 3).astype(np.float32))
+    got = fn(img)
+    want = model.apply(variables, img, mano_l, mano_r, train=False)
+    assert len(got["stages"]) == len(want["stages"])
+    for gs, ws in zip(got["stages"], want["stages"]):
+        for k in ws:
+            np.testing.assert_allclose(
+                np.asarray(gs[k]), np.asarray(ws[k]), rtol=1e-5,
+                atol=1e-5, err_msg=k)
+
+
+def test_export_symbolic_batch(setup, rng):
+    """One artifact, every batch size (symbolic leading dim)."""
+    model, variables, mano_l, mano_r = setup
+    blob = serve.export_infer(model, variables, mano_l, mano_r,
+                              batch_size=None)
+    fn = serve.load_infer(blob)
+    for b in (1, 3):
+        img = jnp.asarray(rng.randn(b, 256, 256, 3).astype(np.float32))
+        got = fn(img)
+        want = model.apply(variables, img, mano_l, mano_r, train=False)
+        np.testing.assert_allclose(
+            np.asarray(got["stages"][-1]["pd_mesh_xyz_left"]),
+            np.asarray(want["stages"][-1]["pd_mesh_xyz_left"]),
+            rtol=1e-5, atol=1e-5)
+
+
+def test_load_rejects_foreign_blob():
+    with pytest.raises(ValueError, match="bad magic"):
+        serve.load_infer(b"not an artifact")

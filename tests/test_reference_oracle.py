@@ -356,6 +356,35 @@ def test_ref_backbone_parity(rng):
             err_msg=f"pyramid level {lvl}")
 
 
+def test_ref_backbone_parity_resnet18(rng):
+    """BasicBlock variant (reference resnet.py:36-83, 271-273): vendored
+    by the reference but unused by DIR; covered for constructor-surface
+    parity."""
+    from models.backbone.resnet import resnet18 as ref_resnet18
+
+    tmod = ref_resnet18()
+    _randomize_bn_stats(tmod, rng)
+    tmod.eval()
+
+    params, stats = ck.convert_torch_state(
+        _sd(tmod), ck.resnet_mapping("", ("",), layers=(2, 2, 2, 2),
+                                     block="basic"))
+
+    from dir_tpu.models.resnet import resnet18
+    fmod = resnet18()
+    x = torch.from_numpy(rng.randn(1, 3, 64, 64).astype(np.float32))
+    feats = fmod.apply({"params": params[""], "batch_stats": stats[""]},
+                       jnp.asarray(x.permute(0, 2, 3, 1).numpy()))
+    with torch.no_grad():
+        want = tmod(x)
+    for lvl, (got_f, want_f) in enumerate(zip(feats, want)):
+        w = want_f.permute(0, 2, 3, 1).numpy()
+        scale = np.abs(w).max() + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(got_f) / scale, w / scale, atol=3e-6,
+            err_msg=f"pyramid level {lvl}")
+
+
 # ---------------------------------------------------------------------------
 # Full DIR network on synthetic MANO assets (models/dir.py:486-596)
 # ---------------------------------------------------------------------------

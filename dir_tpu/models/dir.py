@@ -352,11 +352,15 @@ class Decoder(nn.Module):
         c1, c2, c3, c4 = feats
         outputs = []
 
-        # Stage 1 @ 16x16 (dir.py:441-456)
+        # Stage 1 @ 16x16 (dir.py:441-456). The skip-fusion Residuals
+        # take their two inputs via `pair=` — exact concat algebra with
+        # bn1/conv1/skip split per channel range; the NHWC concats are
+        # pure HBM copies (~1.3 ms/step at eval b256, analyze_layers.py)
+        # and never materialize.
         c4_up = upsample2x(c4)
         c3_skip = Residual(d, dtype=dt, name="skip_layer4")(c3, train)
         fusion = Residual(d, dtype=dt, name="fusion_layer4")(
-            jnp.concatenate([c4_up, c3_skip], axis=-1), train)
+            c4_up, train, pair=c3_skip)
         # Feature size derived from the actual map (16 at 256^2 input) so
         # the model is input-size agnostic; distances stay configured.
         result, stage_feats = RefineStage(
@@ -364,21 +368,19 @@ class Decoder(nn.Module):
             name="projecter_4")(fusion, init_out, mano_left, mano_right,
                                 train)
         enhance = Residual(d, dtype=dt, name="enhance_layer4")(
-            jnp.concatenate([fusion, stage_feats["img_feat"]], axis=-1),
-            train)
+            fusion, train, pair=stage_feats["img_feat"])
         outputs.append(result)
 
         # Stage 2 @ 32x32 (dir.py:458-471)
         c3_up = upsample2x(enhance)
         c2_skip = Residual(d, dtype=dt, name="skip_layer3")(c2, train)
         fusion = Residual(d, dtype=dt, name="fusion_layer3")(
-            jnp.concatenate([c3_up, c2_skip], axis=-1), train)
+            c3_up, train, pair=c2_skip)
         result, stage_feats = RefineStage(
             cfg, fusion.shape[1], cfg.stage_distances[1],
             name="projecter_3")(fusion, result, mano_left, mano_right, train)
         enhance = Residual(d, dtype=dt, name="enhance_layer3")(
-            jnp.concatenate([fusion, stage_feats["img_feat"]], axis=-1),
-            train)
+            fusion, train, pair=stage_feats["img_feat"])
         outputs.append(result)
 
         # Final seg / dense heads @ 32x32 (dir.py:404-420,474-476) — trunk

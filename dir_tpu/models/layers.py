@@ -78,33 +78,128 @@ class ConvBNRelu(nn.Module):
         return x
 
 
-class Residual(nn.Module):
-    """Hourglass pre-activation bottleneck residual
-    (models/backbone/hourglass.py:33-70)."""
+class _PairBN(nn.Module):
+    """BatchNorm over the virtual concat of two tensors, applied to each
+    part separately — per-channel statistics split cleanly across the
+    disjoint channel ranges, so ``bn(concat(a, b))`` equals
+    ``concat(bn_a(a), bn_b(b))`` with sliced parameters/stats. The
+    parameter/batch_stats tree (scale/bias/mean/var of size Ca+Cb) is
+    IDENTICAL to nn.BatchNorm on the concat, so checkpoints convert
+    unchanged. Stat formulas replicate flax (f32, fast variance
+    E[x^2]-E[x]^2 clipped at 0, running update skipped at init)."""
+
+    momentum: float = BN_MOMENTUM
+    epsilon: float = BN_EPS
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, a, b, train: bool = False):
+        ca, cb = a.shape[-1], b.shape[-1]
+        c = ca + cb
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+
+        def stats(x):
+            xf = x.astype(jnp.float32)
+            mu = xf.mean(axis=(0, 1, 2))
+            var = jnp.maximum(0.0, (xf * xf).mean(axis=(0, 1, 2)) - mu * mu)
+            return mu, var
+
+        if train:
+            mu_a, var_a = stats(stat_barrier(a, train))
+            mu_b, var_b = stats(stat_barrier(b, train))
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = (m * ra_mean.value + (1 - m)
+                                 * jnp.concatenate([mu_a, mu_b]))
+                ra_var.value = (m * ra_var.value + (1 - m)
+                                * jnp.concatenate([var_a, var_b]))
+        else:
+            mu_a, mu_b = ra_mean.value[:ca], ra_mean.value[ca:]
+            var_a, var_b = ra_var.value[:ca], ra_var.value[ca:]
+
+        def norm(x, mu, var, s, t):
+            # flax order: mul = rsqrt * scale, then (x - mean) * mul + bias
+            mul = jax.lax.rsqrt(var + self.epsilon) * s
+            y = (x.astype(jnp.float32) - mu) * mul + t
+            return y.astype(self.dtype)
+
+        return (norm(a, mu_a, var_a, scale[:ca], bias[:ca]),
+                norm(b, mu_b, var_b, scale[ca:], bias[ca:]))
+
+
+class _PairConv1x1(nn.Module):
+    """1x1 conv over the virtual concat of two tensors:
+    ``conv(concat(a, b))`` = ``a @ k[:Ca] + b @ k[Ca:] + bias`` — the
+    channel-concat never materializes (it is a pure HBM copy on TPU).
+    Parameter tree (kernel (1,1,C,O) + bias) matches nn.Conv."""
 
     features: int
     dtype: object = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, a, b):
+        ca = a.shape[-1]
+        c = ca + b.shape[-1]
+        kernel = self.param("kernel", conv_kernel_init,
+                            (1, 1, c, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        k = kernel[0, 0].astype(self.dtype)
+        y = (a.astype(self.dtype) @ k[:ca]
+             + b.astype(self.dtype) @ k[ca:])
+        return y + bias.astype(self.dtype)
+
+
+class Residual(nn.Module):
+    """Hourglass pre-activation bottleneck residual
+    (models/backbone/hourglass.py:33-70).
+
+    ``pair``: optional second input — the block then behaves exactly as
+    if called on ``concatenate([x, pair], -1)`` but never materializes
+    the concat (bn1/conv1/skip split per channel range; exact algebra,
+    identical parameter tree). The decoder's skip-fusion concats are
+    pure HBM copies worth ~1.3 ms/step at eval b256 (profiled via
+    tools/analyze_layers.py)."""
+
+    features: int
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 pair: jnp.ndarray | None = None) -> jnp.ndarray:
         half = self.features // 2
-        in_dim = x.shape[-1]
-        if in_dim == self.features:
-            skip = x
-        else:
-            skip = nn.Conv(self.features, (1, 1), use_bias=True,
-                           kernel_init=conv_kernel_init, dtype=self.dtype,
-                           name="skip")(x)
+        in_dim = x.shape[-1] + (pair.shape[-1] if pair is not None else 0)
 
         def bn(name):
             return nn.BatchNorm(use_running_average=not train,
                                 momentum=BN_MOMENTUM, epsilon=BN_EPS,
                                 dtype=self.dtype, name=name)
 
-        out = nn.relu(bn("bn1")(stat_barrier(x, train)))
-        out = nn.Conv(half, (1, 1), use_bias=True,
-                      kernel_init=conv_kernel_init, dtype=self.dtype,
-                      name="conv1")(out)
+        if pair is not None:
+            if in_dim == self.features:
+                skip = jnp.concatenate([x, pair], axis=-1)
+            else:
+                skip = _PairConv1x1(self.features, dtype=self.dtype,
+                                    name="skip")(x, pair)
+            ya, yb = _PairBN(dtype=self.dtype, name="bn1")(x, pair, train)
+            out = _PairConv1x1(half, dtype=self.dtype,
+                               name="conv1")(nn.relu(ya), nn.relu(yb))
+        else:
+            if in_dim == self.features:
+                skip = x
+            else:
+                skip = nn.Conv(self.features, (1, 1), use_bias=True,
+                               kernel_init=conv_kernel_init,
+                               dtype=self.dtype, name="skip")(x)
+            out = nn.relu(bn("bn1")(stat_barrier(x, train)))
+            out = nn.Conv(half, (1, 1), use_bias=True,
+                          kernel_init=conv_kernel_init, dtype=self.dtype,
+                          name="conv1")(out)
         out = nn.relu(bn("bn2")(stat_barrier(out, train)))
         out = nn.Conv(half, (3, 3), padding="SAME", use_bias=True,
                       kernel_init=conv_kernel_init, dtype=self.dtype,

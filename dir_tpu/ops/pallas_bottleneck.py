@@ -105,6 +105,45 @@ def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     out_ref[0] = out.astype(out_ref.dtype).reshape(h, w, -1)
 
 
+def _kernel_banded(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                   wd_ref, bd_ref, out_ref, *, h: int, w: int, mid: int,
+                   has_down: bool, n_bands: int):
+    """Row-banded variant: conv1 runs whole, then conv2's shifted-window
+    concat, conv3 and the residual are computed per row band and written
+    out band-by-band — the full-size (HW, 9*mid) concat and (HW, O)
+    tails never exist. This is the scheduling that lets Mosaic compile
+    the layer2 (32x32x512, mid 128) shape, where the full-size _kernel
+    graph does not terminate (header note)."""
+    x = x_ref[0]                                   # (H, W, C) bf16
+    c = x.shape[-1]
+    xf = x.reshape(h * w, c)
+    f32 = jnp.float32
+
+    y1 = jnp.dot(xf, w1_ref[...], preferred_element_type=f32)
+    y1 = jnp.maximum(y1 + b1_ref[...], 0.0).astype(x.dtype)
+    y1p = jnp.pad(y1.reshape(h, w, mid), ((1, 1), (1, 1), (0, 0)))
+
+    bh = h // n_bands
+    for j in range(n_bands):
+        seg = y1p[bh * j:bh * j + bh + 2]          # (bh+2, W+2, mid)
+        cols = [seg[dy:dy + bh, dx:dx + w].reshape(bh * w, mid)
+                for dy in range(3) for dx in range(3)]
+        ycat = jnp.concatenate(cols, axis=-1)      # (bh*W, 9*mid)
+        y2 = jnp.dot(ycat, w2_ref[...], preferred_element_type=f32)
+        y2 = jnp.maximum(y2 + b2_ref[...], 0.0).astype(x.dtype)
+        y3 = (jnp.dot(y2, w3_ref[...], preferred_element_type=f32)
+              + b3_ref[...]).astype(x.dtype)
+        xb = xf[bh * w * j:bh * w * (j + 1)]
+        if has_down:
+            res = (jnp.dot(xb, wd_ref[...], preferred_element_type=f32)
+                   + bd_ref[...]).astype(x.dtype)
+        else:
+            res = xb
+        band = jnp.maximum(y3 + res, 0.0)
+        out_ref[0, bh * j:bh * (j + 1)] = band.astype(
+            out_ref.dtype).reshape(bh, w, -1)
+
+
 def _stem_kernel(x_ref, g1_ref, t1_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                  w3_ref, b3_ref, wd_ref, bd_ref, out_ref, *, h: int,
                  w: int, c: int, mid: int):
@@ -184,14 +223,15 @@ def _stem_kernel(x_ref, g1_ref, t1_ref, w1_ref, b1_ref, w2_ref, b2_ref,
             out_ref.dtype).reshape(bh, w, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "bands"))
 def fused_bottleneck_infer(x: jnp.ndarray,
                            w1: jnp.ndarray, b1: jnp.ndarray,
                            w2: jnp.ndarray, b2: jnp.ndarray,
                            w3: jnp.ndarray, b3: jnp.ndarray,
                            wd: jnp.ndarray | None = None,
                            bd: jnp.ndarray | None = None,
-                           interpret: bool = False) -> jnp.ndarray:
+                           interpret: bool = False,
+                           bands: int = 0) -> jnp.ndarray:
     """One fused stride-1 bottleneck block at inference.
 
     Args:
@@ -201,6 +241,8 @@ def fused_bottleneck_infer(x: jnp.ndarray,
         w3: (M, O) folded conv3 kernel; b3: (O,).
         wd, bd: optional (C, O)/(O,) folded projection for the residual
             (layer1_0's stride-1 downsample); identity residual if None.
+        bands: 0 = whole-map kernel; N>1 = row-banded conv2/conv3
+            scheduling (_kernel_banded; required for the layer2 shape).
     Returns:
         (B, H, W, O) block output, dtype of x.
     """
@@ -219,8 +261,13 @@ def fused_bottleneck_infer(x: jnp.ndarray,
     w3c = w3.astype(dt)
     wdc = wd.astype(dt)
 
-    kernel = functools.partial(_kernel, h=h, w=w, mid=mid,
-                               has_down=has_down)
+    if bands:
+        assert h % bands == 0, (h, bands)
+        kernel = functools.partial(_kernel_banded, h=h, w=w, mid=mid,
+                                   has_down=has_down, n_bands=bands)
+    else:
+        kernel = functools.partial(_kernel, h=h, w=w, mid=mid,
+                                   has_down=has_down)
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     flops_333 = 2 * h * w * (c * mid + 9 * mid * mid + mid * o
                              + (c * o if has_down else 0))

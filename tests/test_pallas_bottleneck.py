@@ -160,3 +160,35 @@ def test_fused_stem_bottleneck_matches_flax():
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("down", [False, True])
+def test_fused_bottleneck_banded_matches_flax(down):
+    """Row-banded scheduling (_kernel_banded, the layer2 path) == the
+    XLA block, interpret mode."""
+    rng = np.random.RandomState(3)
+    c, mid = 32, 8
+    block = Bottleneck(mid, stride=1, downsample=down, expansion=c // mid)
+    x = jnp.asarray(rng.randn(2, 8, 8, c).astype(np.float32))
+    variables = block.init(jax.random.PRNGKey(0), x)
+    variables = _rand_variables(rng, variables)
+
+    ref = block.apply(variables, x, train=False)
+
+    (w1, b1), (w2, b2), (w3, b3) = _fold_from_variables(variables)
+    w1 = w1[0, 0]
+    w3 = w3[0, 0]
+    if down:
+        wd, bd = fold_bn(variables["params"]["down_conv"]["kernel"],
+                         variables["params"]["down_bn"]["scale"],
+                         variables["params"]["down_bn"]["bias"],
+                         variables["batch_stats"]["down_bn"]["mean"],
+                         variables["batch_stats"]["down_bn"]["var"])
+        wd = wd[0, 0]
+    else:
+        wd = bd = None
+    out = fused_bottleneck_infer(x, w1, b1, w2, b2, w3, b3, wd, bd,
+                                 interpret=True, bands=4)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

@@ -17,6 +17,11 @@ import numpy as np
 
 BATCH = int(os.environ.get("BENCH_BATCH", "256"))
 ITERS = 20
+# Row bands for the 32x32 shape (BANDS=4 -> _kernel_banded). The
+# unbanded kernel's Mosaic compile does not terminate at that shape
+# (pallas_bottleneck.py header), so without BANDS the 32x32 Pallas
+# variant is skipped.
+BANDS = int(os.environ.get("BANDS", "0"))
 
 
 def timeit(name, fn, *args):
@@ -54,10 +59,17 @@ def main():
                                   p[bn]["bias"], s[bn]["mean"],
                                   s[bn]["var"]))
         (w1, b1), (w2, b2), (w3, b3) = folded
+        bands = BANDS if h == 32 else 0
+        if h == 32 and not BANDS:
+            print(f"pallas_fused_{h}x{h}x{c}: skipped "
+                  "(unbanded Mosaic compile hangs; set BANDS=4)")
+            continue
         out = timeit(
-            f"pallas_fused_{h}x{h}x{c}",
+            f"pallas_fused_{h}x{h}x{c}" + (f"_bands{bands}" if bands
+                                           else ""),
             lambda xx: fused_bottleneck_infer(xx, w1[0, 0], b1, w2, b2,
-                                              w3[0, 0], b3), x)
+                                              w3[0, 0], b3,
+                                              bands=bands), x)
         err = np.max(np.abs(np.asarray(out, np.float32)
                             - np.asarray(ref, np.float32)))
         print(f"  max |fused - xla| = {err:.4f}")

@@ -153,7 +153,12 @@ def bench_train():
 
 
 def main():
-    ips = bench_eval()
+    # BENCH_EVAL=0 skips the eval half (train-only A/B runs); the
+    # driver always runs both (default 1).
+    if os.environ.get("BENCH_EVAL", "1") != "0":
+        ips = bench_eval()
+    else:
+        ips = 0.0
     record = {
         "metric": "dir_eval_images_per_sec",
         "value": round(ips, 2),

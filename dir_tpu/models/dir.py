@@ -354,9 +354,10 @@ class Decoder(nn.Module):
 
         # Stage 1 @ 16x16 (dir.py:441-456). The skip-fusion Residuals
         # take their two inputs via `pair=` — exact concat algebra with
-        # bn1/conv1/skip split per channel range; the NHWC concats are
-        # pure HBM copies (~1.3 ms/step at eval b256, analyze_layers.py)
-        # and never materialize.
+        # bn1/conv1/skip split per channel range; at inference the NHWC
+        # concats (pure HBM copies, ~1.3 ms/step at eval b256,
+        # analyze_layers.py) never materialize. Training keeps the
+        # concat (layers.py _PAIR_FUSION for the measurements).
         c4_up = upsample2x(c4)
         c3_skip = Residual(d, dtype=dt, name="skip_layer4")(c3, train)
         fusion = Residual(d, dtype=dt, name="fusion_layer4")(

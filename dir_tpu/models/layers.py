@@ -39,6 +39,14 @@ import os as _os
 
 _BN_BARRIER = int(_os.environ.get("BN_BARRIER", "0"))
 
+# Concat-free pair path in Residual. Measured (v5e, same build):
+# eval b256 6,159 vs 6,126 img/s in favor of the pair path; train b64
+# 61.33 vs 60.94 ms AGAINST it (the split conv1/bn1 backward loses
+# more fusion than the concat copies cost). Default 1 = eval-only.
+# PAIR_FUSION=0 never, 2 = also in training (re-measurement knob).
+# Parameter tree is identical in every mode.
+_PAIR_FUSION = int(_os.environ.get("PAIR_FUSION", "1"))
+
 
 def stat_barrier(x: jnp.ndarray, train: bool) -> jnp.ndarray:
     if (train and _BN_BARRIER and x.ndim == 4
@@ -160,11 +168,12 @@ class Residual(nn.Module):
     (models/backbone/hourglass.py:33-70).
 
     ``pair``: optional second input — the block then behaves exactly as
-    if called on ``concatenate([x, pair], -1)`` but never materializes
-    the concat (bn1/conv1/skip split per channel range; exact algebra,
-    identical parameter tree). The decoder's skip-fusion concats are
-    pure HBM copies worth ~1.3 ms/step at eval b256 (profiled via
-    tools/analyze_layers.py)."""
+    if called on ``concatenate([x, pair], -1)``; at inference the
+    concat never materializes (bn1/conv1/skip split per channel range;
+    exact algebra, identical parameter tree — the decoder's
+    skip-fusion concats are pure HBM copies worth ~1.3 ms/step at eval
+    b256). Training materializes the concat: the split backward
+    measured 0.4 ms/step WORSE (see _PAIR_FUSION above)."""
 
     features: int
     dtype: object = jnp.float32
@@ -179,6 +188,11 @@ class Residual(nn.Module):
             return nn.BatchNorm(use_running_average=not train,
                                 momentum=BN_MOMENTUM, epsilon=BN_EPS,
                                 dtype=self.dtype, name=name)
+
+        use_pair = _PAIR_FUSION == 2 or (_PAIR_FUSION == 1 and not train)
+        if pair is not None and not use_pair:
+            x = jnp.concatenate([x, pair], axis=-1)
+            pair = None
 
         if pair is not None:
             if in_dim == self.features:

@@ -29,6 +29,17 @@ from dir_tpu.models.layers import (BN_EPS, BN_MOMENTUM, conv_kernel_init,
 # (see ops/conv1x1.py). 0 = standard nn.Conv.
 _CONV1X1_SPLITK = int(_os.environ.get("CONV1X1_SPLITK", "0"))
 
+# Row bands for the fused Pallas path at the 32x32 (layer2) shape,
+# where the whole-map kernel's Mosaic compile does not terminate
+# (ops/pallas_bottleneck.py header) but the row-banded schedule
+# compiles and wins IN ISOLATION: 2.57 vs 3.71 ms/block XLA at b256
+# bf16 (tools/bench_bottleneck.py, BANDS=4). MEASURED NEGATIVE
+# IN-MODEL: eval 5,992 img/s with layer2 fused vs 6,159 without (same
+# build) — the three kernel boundaries forbid XLA's cross-block
+# fusions around layer2 and cost more than the per-block win. Default
+# 0 = layer2 stays on XLA; flag retained for future Mosaic/XLA.
+_FUSED_L2_BANDS = int(_os.environ.get("FUSED_L2_BANDS", "0"))
+
 
 class Bottleneck(nn.Module):
     planes: int
@@ -46,17 +57,23 @@ class Bottleneck(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         # The per-sample-grid kernel wins where XLA is HBM-bound: layer1
         # (64^2 spatial; measured 3.1 vs 6.1 ms/block at batch 256).
-        # Three guards from measurement: later stages are compute-bound
-        # (XLA's batched convs run at 130-180 TF/s) and the 32^2/512ch
-        # shape additionally hits a pathological Mosaic compile; inputs
-        # with <128 channels force a half-empty-lane default layout on
-        # the kernel operand, and XLA pays a 268 MB relayout copy plus
-        # an unfused reduce-window upstream — costlier than the fusion
-        # saves (so layer1_0, whose input is the 64-ch pool, stays XLA).
+        # Guards from measurement: layer2 (32^2x512) wins in isolation
+        # via the row-banded schedule (2.57 vs 3.71 ms/block) but LOSES
+        # in-model (5,992 vs 6,159 img/s — kernel boundaries forbid
+        # XLA's cross-block fusions), so it stays XLA unless
+        # FUSED_L2_BANDS is set; layer3+ is compute-bound (XLA's
+        # batched convs run at 130-180 TF/s); inputs with <128 channels
+        # force a half-empty-lane default layout on the kernel operand,
+        # and XLA pays a 268 MB relayout copy plus an unfused
+        # reduce-window upstream — costlier than the fusion saves (so
+        # layer1_0, whose input is the 64-ch pool, stays XLA).
+        spatial = x.shape[1] * x.shape[2]
         if (self.fused_eval and not train and self.stride == 1
-                and x.shape[1] * x.shape[2] >= 4096 and x.shape[-1] >= 128
-                and not self.is_initializing()):
-            return self._fused_infer(x)
+                and x.shape[-1] >= 128 and not self.is_initializing()
+                and (spatial >= 4096
+                     or (spatial >= 1024 and _FUSED_L2_BANDS))):
+            return self._fused_infer(
+                x, bands=0 if spatial >= 4096 else _FUSED_L2_BANDS)
 
         def bn(name):
             return nn.BatchNorm(use_running_average=not train,
@@ -95,7 +112,7 @@ class Bottleneck(nn.Module):
             identity = bn("down_bn")(stat_barrier(identity, train))
         return nn.relu(out + identity)
 
-    def _fused_infer(self, x: jnp.ndarray) -> jnp.ndarray:
+    def _fused_infer(self, x: jnp.ndarray, bands: int = 0) -> jnp.ndarray:
         """Fold the BNs and run the whole block as one Pallas kernel.
 
         Reads the variables the XLA branch created at init — the
@@ -122,7 +139,8 @@ class Bottleneck(nn.Module):
             wd = wd[0, 0]
         return fused_bottleneck_infer(
             x.astype(self.dtype), w1[0, 0], b1, w2, b2, w3[0, 0], b3,
-            wd, bd, interpret=jax.default_backend() != "tpu")
+            wd, bd, interpret=jax.default_backend() != "tpu",
+            bands=bands)
 
 
 class BasicBlock(nn.Module):

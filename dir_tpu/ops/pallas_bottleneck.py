@@ -22,7 +22,15 @@ in VMEM — M=64 channel blocks would otherwise waste 3/4 of the MXU.
 
 Negative results from this kernel's tuning (kept so they aren't re-run):
   * 32x32x512 (layer2) blocks: Mosaic compile does not terminate
-    (>10 min) for the same kernel at that shape — layer2 stays on XLA.
+    (>10 min) for the whole-map kernel at that shape. RESOLVED by the
+    row-banded schedule (``bands=4`` -> ``_kernel_banded``): conv2's
+    shifted-window concat, conv3 and the residual run per row band, so
+    the full-size (HW, 9*mid) concat never exists — compiles in
+    seconds and measures 2.57 vs 3.71 ms/block XLA at b256 bf16.
+    IN-MODEL it still loses (eval 5,992 vs 6,159 img/s with the same
+    build): the kernel boundaries forbid XLA's cross-block fusions
+    around layer2, costing more than the per-block win — layer2 stays
+    on XLA by default (models/resnet.py FUSED_L2_BANDS).
   * A 64-channel kernel boundary forces XLA into a 268 MB relayout
     copy + an unfused reduce-window upstream (half-empty 128-lane
     default layout), which is why blocks with <128 input channels

@@ -235,12 +235,16 @@ def test_bn_stat_barrier_is_identity(rng, monkeypatch):
                                    rtol=1e-6, atol=1e-6)
 
 
-def test_residual_pair_matches_concat(rng):
+def test_residual_pair_matches_concat(rng, monkeypatch):
     """Residual(x, pair=y) == Residual(concat([x, y])) on the SAME
     parameters — forward, BN batch-stat updates, and input gradients,
     in train and eval modes. The pair path splits bn1/conv1/skip per
     channel range (exact algebra, no materialized concat); the
-    parameter trees are identical by construction."""
+    parameter trees are identical by construction. _PAIR_FUSION is
+    pinned to 2 (always) so the train-mode pair algebra is exercised
+    even though production defaults to eval-only."""
+    from dir_tpu.models import layers as L
+    monkeypatch.setattr(L, "_PAIR_FUSION", 2)
     a = jnp.asarray(rng.randn(2, 8, 8, 5).astype(np.float32))
     b = jnp.asarray(rng.randn(2, 8, 8, 3).astype(np.float32))
     cat = jnp.concatenate([a, b], axis=-1)

@@ -192,3 +192,35 @@ def test_fused_bottleneck_banded_matches_flax(down):
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_backbone_fused_layer2_banded_guard(monkeypatch):
+    """With FUSED_L2_BANDS set, the Bottleneck guard engages the
+    row-banded kernel at the layer2 shape (spatial 1024, 512 ch) and
+    matches the XLA path; with it unset (default) layer2 stays XLA."""
+    from dir_tpu.models import resnet as rn
+    from dir_tpu.ops import pallas_bottleneck as pb
+
+    calls = []
+    real = pb.fused_bottleneck_infer
+    monkeypatch.setattr(
+        pb, "fused_bottleneck_infer",
+        lambda *a, **k: calls.append(k.get("bands", 0)) or real(*a, **k))
+
+    rng = np.random.RandomState(6)
+    c, mid = 512, 128
+    block = rn.Bottleneck(mid, stride=1, downsample=False,
+                          expansion=c // mid, fused_eval=True)
+    x = jnp.asarray(rng.randn(1, 32, 32, c).astype(np.float32))
+    variables = block.init(jax.random.PRNGKey(0), x)
+    variables = _rand_variables(np.random.RandomState(7), variables)
+
+    monkeypatch.setattr(rn, "_FUSED_L2_BANDS", 0)
+    ref = block.apply(variables, x, train=False)
+    assert calls == [], "layer2 shape must stay XLA by default"
+
+    monkeypatch.setattr(rn, "_FUSED_L2_BANDS", 4)
+    out = block.apply(variables, x, train=False)
+    assert calls == [4], "banded fused kernel did not engage"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

@@ -20,8 +20,12 @@ ITERS = 20
 # Row bands for the 32x32 shape (BANDS=4 -> _kernel_banded). The
 # unbanded kernel's Mosaic compile does not terminate at that shape
 # (pallas_bottleneck.py header), so without BANDS the 32x32 Pallas
-# variant is skipped.
-BANDS = int(os.environ.get("BANDS", "0"))
+# variant is skipped. Measured: 2.566 (bands4) vs 3.709 ms XLA.
+BANDS = int(os.environ.get("BANDS", "4"))
+# Opt-in: also measure the layer3 shape (16x16x1024, mid 256) with
+# BENCH_L3=<bands> (0 = whole-map kernel). Expected compute-bound in
+# XLA's favor; kept for one-shot measurement, not the default run.
+BENCH_L3 = os.environ.get("BENCH_L3")
 
 
 def timeit(name, fn, *args):
@@ -42,7 +46,10 @@ def main():
     from dir_tpu.ops.pallas_bottleneck import fold_bn, fused_bottleneck_infer
 
     rng = np.random.RandomState(0)
-    for (h, c, mid) in ((64, 256, 64), (32, 512, 128)):
+    shapes = [(64, 256, 64), (32, 512, 128)]
+    if BENCH_L3 is not None:
+        shapes.append((16, 1024, 256))
+    for (h, c, mid) in shapes:
         block = Bottleneck(mid, stride=1, downsample=False,
                            expansion=c // mid, dtype=jnp.bfloat16)
         x = jnp.asarray(rng.randn(BATCH, h, h, c).astype(np.float32)
@@ -59,7 +66,7 @@ def main():
                                   p[bn]["bias"], s[bn]["mean"],
                                   s[bn]["var"]))
         (w1, b1), (w2, b2), (w3, b3) = folded
-        bands = BANDS if h == 32 else 0
+        bands = {64: 0, 32: BANDS, 16: int(BENCH_L3 or 0)}[h]
         if h == 32 and not BANDS:
             print(f"pallas_fused_{h}x{h}x{c}: skipped "
                   "(unbanded Mosaic compile hangs; set BANDS=4)")

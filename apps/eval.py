@@ -52,6 +52,12 @@ def main():
                     help="fused Pallas bottleneck inference kernels for "
                          "the early backbone (TPU; ~6%% faster eval, "
                          "bf16-trunk numerics)")
+    ap.add_argument("--devices", type=int, default=1,
+                    help="data-parallel eval: shard each batch over a 1-D "
+                         "mesh of N local devices (weights replicated, "
+                         "per-sample outputs unchanged). The reference "
+                         "is single-GPU (apps/eval.py:104); this is the "
+                         "TPU-pod equivalent of its batch loop.")
     opt = ap.parse_args()
 
     if opt.fused_bottleneck and opt.dtype != "bfloat16":
@@ -122,6 +128,30 @@ def main():
         variables = {"params": restored.params,
                      "batch_stats": restored.batch_stats}
 
+    # Data-parallel mesh: batch axis sharded, weights replicated; XLA
+    # propagates the sharding through the whole forward + metric program
+    # (every op is batch-parallel), so no collectives are emitted and
+    # per-sample outputs are identical to the single-device run
+    # (tests/test_apps_cli.py::test_eval_cli_sharded).
+    mesh = None
+    if opt.devices > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+        from dir_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                           replicated_sharding)
+        if opt.bs % opt.devices:
+            ap.error("--bs must be divisible by --devices")
+        mesh = make_mesh(opt.devices)
+        variables = jax.device_put(variables, replicated_sharding(mesh))
+        _bshard = batch_sharding(mesh)
+        _sshard = NamedSharding(mesh, PartitionSpec(None, "data"))
+
+    def place(x, stacked=False):
+        """Host array -> device, batch-sharded when a mesh is active."""
+        x = jnp.asarray(x)
+        if mesh is not None:
+            x = jax.device_put(x, _sshard if stacked else _bshard)
+        return x
+
     ds = InterHandDataset(opt.data_path, "test", mano_l, mano_r,
                           augment_train=False)
     loader = BatchLoader(ds, opt.bs, shuffle=False, drop_last=False,
@@ -158,12 +188,12 @@ def main():
                             "joints_xyz_left", "joints_xyz_right")}
 
     def accumulate(batch):
-        vl, vr, off = forward(jnp.asarray(batch["img"]))
+        vl, vr, off = forward(place(batch["img"]))
         errs = evaluate.batch_errors(
             vl, vr, off,
-            jnp.asarray(batch["mesh_3d_left"]),
-            jnp.asarray(batch["mesh_3d_right"]),
-            jnp.asarray(batch["camera"]), jreg_l, jreg_r,
+            place(batch["mesh_3d_left"]),
+            place(batch["mesh_3d_right"]),
+            place(batch["camera"]), jreg_l, jreg_r,
             root_joint=opt.root_joint, scale_align=opt.scale)
         n = int(batch["_valid"])
         for k in dump:
@@ -181,7 +211,8 @@ def main():
                 for b in pending:
                     accumulate(b)
             else:
-                imgs = jnp.asarray(np.stack([b["img"] for b in pending]))
+                imgs = place(np.stack([b["img"] for b in pending]),
+                             stacked=True)
                 vls, vrs, offs = _forward_stacked(variables, imgs)
                 for i, b in enumerate(pending):
                     b = dict(b)
@@ -193,9 +224,9 @@ def main():
             vl, vr, off = batch.pop("_fwd")
             errs = evaluate.batch_errors(
                 vl, vr, off,
-                jnp.asarray(batch["mesh_3d_left"]),
-                jnp.asarray(batch["mesh_3d_right"]),
-                jnp.asarray(batch["camera"]), jreg_l, jreg_r,
+                place(batch["mesh_3d_left"]),
+                place(batch["mesh_3d_right"]),
+                place(batch["camera"]), jreg_l, jreg_r,
                 root_joint=opt.root_joint, scale_align=opt.scale)
             n = int(batch["_valid"])
             for k in dump:

@@ -117,6 +117,41 @@ def test_eval_cli_smoke(tmp_path, monkeypatch, capsys):
 
 
 @pytest.mark.slow
+def test_eval_cli_sharded(tmp_path, monkeypatch, capsys):
+    """--devices 8 (1-D data mesh over the virtual CPU devices) produces
+    the same per-sample errors as the single-device run: the sharding is
+    batch-parallel everywhere, so XLA emits no collectives and the math
+    is unchanged."""
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")  # see eval smoke note
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from dir_tpu.data import synthetic
+    from dir_tpu.mano import synthetic_mano, fix_left_shapedirs
+
+    right = synthetic_mano("right", seed=0)
+    left = fix_left_shapedirs(synthetic_mano("left", seed=0), right)
+    data_dir = str(tmp_path / "data")
+    synthetic.generate(data_dir, left, right, split="test", num_samples=3)
+
+    app = _load_app("eval")
+    outs = {}
+    for ndev in (1, 8):
+        out_dir = str(tmp_path / f"out{ndev}")
+        monkeypatch.setattr(sys, "argv", [
+            "eval", "--model", "random", "--data_path", data_dir,
+            "--out", out_dir, "--bs", "8", "--backbone_layers", "1,1,1,1",
+            "--synthetic_mano", "--devices", str(ndev)])
+        app.main()
+        capsys.readouterr()
+        outs[ndev] = np.loadtxt(
+            os.path.join(out_dir, "joint_left_error.txt"))
+
+    assert outs[8].shape == (3, 21)
+    assert np.isfinite(outs[8]).all()
+    np.testing.assert_allclose(outs[8], outs[1], rtol=0, atol=1e-4)
+
+
+@pytest.mark.slow
 def test_export_cli_smoke(tmp_path, monkeypatch):
     """apps/export.py end-to-end: random tiny model -> artifact ->
     --check reloads it and verifies outputs (dir_tpu/serve.py)."""

@@ -52,6 +52,11 @@ def main():
                     help="fused Pallas bottleneck inference kernels for "
                          "the early backbone (TPU; ~6%% faster eval, "
                          "bf16-trunk numerics)")
+    ap.add_argument("--quant_backbone", action="store_true",
+                    help="int8 PTQ backbone convs (ops/quant.py): ~2x "
+                         "MXU rate + half the conv bytes; PTQ numerics "
+                         "(~1e-2) — a serving option, NOT for parity "
+                         "metric reproduction")
     ap.add_argument("--devices", type=int, default=1,
                     help="data-parallel eval: shard each batch over a 1-D "
                          "mesh of N local devices (weights replicated, "
@@ -95,7 +100,8 @@ def main():
     layers = tuple(int(x) for x in opt.backbone_layers.split(","))
     cfg = ModelConfig(root_joint=opt.root_joint, dtype=opt.dtype,
                       backbone_layers=layers, backbone_stem=opt.stem,
-                      fused_bottleneck_eval=opt.fused_bottleneck)
+                      fused_bottleneck_eval=opt.fused_bottleneck,
+                      quant_backbone_eval=opt.quant_backbone)
     model = DIR(cfg)
 
     img0 = jnp.zeros((1, 256, 256, 3), jnp.float32)

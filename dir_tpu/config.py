@@ -63,6 +63,14 @@ class ModelConfig:
     # Training and stride-2 blocks always use the XLA path; parameters
     # are identical. Interpret-mode on non-TPU backends.
     fused_bottleneck_eval: bool = False
+    # Inference-only int8 quantized backbone convs (ops/quant.py):
+    # BN folded, weights symmetric per-channel int8, activations
+    # dynamic per-tensor int8, s32 accumulation on the MXU's double
+    # -rate int8 path. A serving OPTION (~1e-2 PTQ numerics), never
+    # the parity default. Composes with fused_bottleneck_eval: the
+    # measured-best Pallas path keeps the 64^2 layer1 blocks, int8
+    # takes the compute-bound layer2+ blocks.
+    quant_backbone_eval: bool = False
     # MANO contraction precision: "highest" (bit-parity eval) or "high"
     # (bf16x3, ~1e-6 rel err, ~2x fewer MXU passes — use for training).
     mano_precision: str = "highest"

@@ -420,6 +420,7 @@ class DIR(nn.Module):
                               dtype=jnp.dtype(self.cfg.dtype),
                               stem=self.cfg.backbone_stem,
                               fused_eval=self.cfg.fused_bottleneck_eval,
+                              quant_eval=self.cfg.quant_backbone_eval,
                               name="backbone")(img, train)
         init_out = InitRegressor(self.cfg, name="init_regressor")(
             feats[-1], mano_left, mano_right, train)

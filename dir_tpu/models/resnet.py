@@ -52,6 +52,12 @@ class Bottleneck(nn.Module):
     # XLA block at the HBM-bound 64^2 shapes. Train + stride-2 blocks
     # always use the XLA path; parameters are identical either way.
     fused_eval: bool = False
+    # Inference-only int8 path (ops/quant.py): BN-folded convs run
+    # s8 x s8 -> s32 on the MXU's double-rate int8 path. Applies to
+    # the blocks the fused Pallas guard does not take (when both flags
+    # are set layer1 stays Pallas — measured best — and int8 takes the
+    # compute-bound layer2+). PTQ numerics, serving option only.
+    quant_eval: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -74,6 +80,8 @@ class Bottleneck(nn.Module):
                      or (spatial >= 1024 and _FUSED_L2_BANDS))):
             return self._fused_infer(
                 x, bands=0 if spatial >= 4096 else _FUSED_L2_BANDS)
+        if self.quant_eval and not train and not self.is_initializing():
+            return self._quant_infer(x)
 
         def bn(name):
             return nn.BatchNorm(use_running_average=not train,
@@ -142,6 +150,40 @@ class Bottleneck(nn.Module):
             wd, bd, interpret=jax.default_backend() != "tpu",
             bands=bands)
 
+    def _quant_infer(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Run the block's convs int8-quantized (ops/quant.py).
+
+        Same variable tree as the XLA branch; BN is folded into each
+        conv (exact), the folded kernels are quantized per output
+        channel, activations per-tensor dynamically. Residual add +
+        relu stay in the trunk dtype."""
+        from dir_tpu.ops.pallas_bottleneck import fold_bn
+        from dir_tpu.ops.quant import quant_conv
+
+        p = lambda n: self.get_variable("params", n)  # noqa: E731
+        s = lambda n: self.get_variable("batch_stats", n)  # noqa: E731
+
+        def fold(conv, bnn):
+            return fold_bn(p(conv)["kernel"], p(bnn)["scale"],
+                           p(bnn)["bias"], s(bnn)["mean"], s(bnn)["var"],
+                           BN_EPS)
+
+        w1, b1 = fold("conv1", "bn1")
+        w2, b2 = fold("conv2", "bn2")
+        w3, b3 = fold("conv3", "bn3")
+
+        out = nn.relu(quant_conv(x, w1, bias=b1, out_dtype=self.dtype))
+        out = nn.relu(quant_conv(out, w2, (self.stride, self.stride),
+                                 ((1, 1), (1, 1)), b2, self.dtype))
+        out = quant_conv(out, w3, bias=b3, out_dtype=self.dtype)
+
+        identity = x.astype(self.dtype)
+        if self.downsample:
+            wd, bd = fold("down_conv", "down_bn")
+            identity = quant_conv(x, wd, (self.stride, self.stride),
+                                  "SAME", bd, self.dtype)
+        return nn.relu(out + identity)
+
 
 class BasicBlock(nn.Module):
     """Two-3x3-conv residual block (reference models/backbone/resnet.py:36-83).
@@ -157,6 +199,7 @@ class BasicBlock(nn.Module):
     expansion: int = 1
     dtype: object = jnp.float32
     fused_eval: bool = False  # accepted for API symmetry; no fused path
+    quant_eval: bool = False  # accepted for API symmetry; no int8 path
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -235,6 +278,7 @@ class ResNetPyramid(nn.Module):
     dtype: object = jnp.float32
     stem: str = "conv7"
     fused_eval: bool = False  # see Bottleneck.fused_eval
+    quant_eval: bool = False  # see Bottleneck.quant_eval
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
@@ -277,10 +321,12 @@ class ResNetPyramid(nn.Module):
             down = stride != 1 or x.shape[-1] != p * expansion
             x = blk(p, stride=stride, downsample=down,
                     dtype=self.dtype, fused_eval=self.fused_eval,
+                    quant_eval=self.quant_eval,
                     name=f"layer{stage + 1}_0")(x, train)
             for b in range(1, blocks):
                 x = blk(p, dtype=self.dtype,
                         fused_eval=self.fused_eval,
+                        quant_eval=self.quant_eval,
                         name=f"layer{stage + 1}_{b}")(x, train)
             feats.append(x)
         return feats

@@ -1,0 +1,94 @@
+"""Int8 post-training quantization for inference convolutions.
+
+TPU v5e's MXU runs s8 x s8 -> s32 at twice the bf16 rate (~394 TOPS vs
+~197 TFLOP/s), and int8 activations halve the HBM bytes of every conv
+operand. This module provides the serving-side quantized execution of
+the backbone's convolutions (the reference has no quantized path at
+all — it serves fp32 CUDA, apps/eval.py:104-108; this is a TPU-native
+serving capability on top of parity).
+
+Scheme (standard PTQ, chosen so NO calibration pass is needed):
+  - weights: symmetric per-output-channel int8; scale = max|W_o| / 127
+    over (kh, kw, I). BN is folded into the conv first (exact fp32
+    algebra, ops/pallas_bottleneck.py:fold_bn), so the quantization
+    grid covers the scaled kernel the conv actually applies.
+  - activations: symmetric per-tensor DYNAMIC int8 — scale computed
+    from the live batch max. One extra reduction + cast per conv
+    input; the conv itself then reads half the bytes and runs at the
+    int8 MXU rate, which dominates at the compute-bound shapes
+    (layer3+/decoder; DESIGN.md §7).
+  - accumulation in int32 (preferred_element_type), dequantized with
+    act_scale * w_scale[o] in fp32, bias added post-dequant.
+
+Numerics: exact when weights and activations are already representable
+on the int8 grid (tests/test_quant.py grid test); on random data the
+per-conv relative error is the usual ~1e-2 PTQ regime — a serving
+OPTION behind a flag, never the parity default.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_weight_per_channel(w: jnp.ndarray) -> Tuple[jnp.ndarray,
+                                                         jnp.ndarray]:
+    """(kh, kw, I, O) fp kernel -> (int8 kernel, fp32 scale[O]).
+
+    Symmetric, per-output-channel: scale_o = max|W[..., o]| / 127,
+    zero-point 0. Channels that are exactly zero get scale 1 to avoid
+    0/0 (their quantized weights are all zero anyway)."""
+    w = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=tuple(range(w.ndim - 1)))
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def quantize_act_dynamic(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """fp activations -> (int8, fp32 scalar scale), symmetric per-tensor
+    with the scale from the live |max| (dynamic quantization)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def conv_int8(x_q: jnp.ndarray, w_q: jnp.ndarray,
+              x_scale: jnp.ndarray, w_scale: jnp.ndarray,
+              stride: Tuple[int, int] = (1, 1),
+              padding="SAME",
+              bias: Optional[jnp.ndarray] = None,
+              out_dtype=jnp.float32) -> jnp.ndarray:
+    """s8 x s8 -> s32 NHWC conv, dequantized to ``out_dtype``.
+
+    x_q: (B, H, W, I) int8; w_q: (kh, kw, I, O) int8. The int32
+    accumulator is exact (max |sum| = kh*kw*I*127^2 < 2^31 for every
+    shape in this model), so the only quantization error is the input
+    rounding."""
+    dn = jax.lax.conv_dimension_numbers(x_q.shape, w_q.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    acc = jax.lax.conv_general_dilated(
+        x_q, w_q, stride, padding, dimension_numbers=dn,
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (x_scale * w_scale)
+    if bias is not None:
+        y = y + bias
+    return y.astype(out_dtype)
+
+
+def quant_conv(x: jnp.ndarray, w: jnp.ndarray,
+               stride: Tuple[int, int] = (1, 1), padding="SAME",
+               bias: Optional[jnp.ndarray] = None,
+               out_dtype=None) -> jnp.ndarray:
+    """Quantize-then-convolve: the drop-in int8 replacement for an
+    inference ``conv(x, w) + bias``."""
+    if out_dtype is None:
+        out_dtype = x.dtype
+    x_q, x_s = quantize_act_dynamic(x)
+    w_q, w_s = quantize_weight_per_channel(w)
+    return conv_int8(x_q, w_q, x_s, w_s, stride, padding, bias, out_dtype)

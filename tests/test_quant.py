@@ -1,0 +1,173 @@
+"""Int8 PTQ inference path (dir_tpu/ops/quant.py + Bottleneck.quant_eval).
+
+Oracle strategy: (a) float64-numpy oracle for the quantizers, (b) a
+grid-exactness test — when weights and activations already sit on the
+int8 grid the quantized conv must equal the fp conv EXACTLY (the s32
+accumulator is exact), so any discrepancy is a wiring bug, not
+"quantization noise"; (c) end-to-end PTQ error bound on a random
+Bottleneck, plus a call-counter assertion that the int8 path actually
+executes (the ADVICE-r2 lesson from the fused-bottleneck test).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_weight_quant_oracle():
+    from dir_tpu.ops.quant import quantize_weight_per_channel
+
+    rng = np.random.RandomState(0)
+    w = rng.randn(3, 3, 8, 16).astype(np.float32)
+    q, s = quantize_weight_per_channel(jnp.asarray(w))
+    q, s = np.asarray(q), np.asarray(s)
+
+    # float64 oracle
+    amax = np.abs(w.astype(np.float64)).max(axis=(0, 1, 2))
+    s64 = amax / 127.0
+    np.testing.assert_allclose(s, s64, rtol=1e-6)
+    q64 = np.clip(np.round(w.astype(np.float64) / s64), -127, 127)
+    assert q.dtype == np.int8
+    # fp32-vs-fp64 division can flip exact-.5 rounding; allow <=1 lsb on
+    # a vanishing fraction
+    assert (q != q64).mean() < 1e-3
+    np.testing.assert_allclose(q.astype(np.float64) * s64, w, atol=s64.max())
+    # zero channel -> scale 1, all-zero weights
+    qz, sz = quantize_weight_per_channel(jnp.zeros((1, 1, 4, 2)))
+    assert float(jnp.abs(qz).max()) == 0 and np.all(np.asarray(sz) == 1.0)
+
+
+def test_act_quant_oracle():
+    from dir_tpu.ops.quant import quantize_act_dynamic
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 4, 4, 8).astype(np.float32) * 3
+    q, s = quantize_act_dynamic(jnp.asarray(x))
+    assert q.dtype == jnp.int8
+    s64 = np.abs(x.astype(np.float64)).max() / 127.0
+    np.testing.assert_allclose(float(s), s64, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(q, np.float64) * s64, x,
+                               atol=s64 / 2 + 1e-9)
+
+
+def test_quant_conv_grid_exact():
+    """Inputs already on the int8 grid -> the quantized conv is EXACT."""
+    from dir_tpu.ops.quant import quant_conv
+
+    rng = np.random.RandomState(2)
+    sx, sw = 0.5, 0.25  # power-of-two scales: x/s is exact in fp32
+    xi = rng.randint(-127, 128, (2, 8, 8, 16)).astype(np.float32)
+    xi.flat[0] = 127.0  # pin the dynamic scale
+    wi = rng.randint(-127, 128, (3, 3, 16, 8)).astype(np.float32)
+    wi[0, 0, 0, :] = 127.0  # pin every per-channel scale
+    x = jnp.asarray(xi * sx)
+    w = jnp.asarray(wi * sw)
+    bias = jnp.asarray(rng.randn(8).astype(np.float32))
+
+    got = quant_conv(x, w, (1, 1), ((1, 1), (1, 1)), bias,
+                     out_dtype=jnp.float32)
+
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    want = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn) + bias
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-5)
+
+
+def test_quant_conv_stride_matches_fp():
+    """Stride-2 + SAME padding wiring: int8 path tracks the fp conv to
+    PTQ tolerance on random data."""
+    from dir_tpu.ops.quant import quant_conv
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 16, 16, 8).astype(np.float32))
+    w = jnp.asarray(rng.randn(1, 1, 8, 12).astype(np.float32) * 0.1)
+    got = np.asarray(quant_conv(x, w, (2, 2), "SAME"))
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    want = np.asarray(jax.lax.conv_general_dilated(
+        x, w, (2, 2), "SAME", dimension_numbers=dn))
+    assert got.shape == want.shape == (2, 8, 8, 12)
+    rms = np.sqrt(((got - want) ** 2).mean()) / np.sqrt((want ** 2).mean())
+    assert rms < 0.02, rms
+
+
+@pytest.mark.parametrize("downsample,stride", [(False, 1), (True, 2)])
+def test_bottleneck_quant_path(downsample, stride):
+    """The quant_eval Bottleneck (BN folded + int8 convs) tracks the XLA
+    fp block within PTQ error, and the int8 path actually runs."""
+    import dir_tpu.ops.quant as quant
+    from dir_tpu.models.resnet import Bottleneck
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 16, 16, 32).astype(np.float32))
+
+    ref = Bottleneck(planes=8, stride=stride, downsample=downsample)
+    qb = Bottleneck(planes=8, stride=stride, downsample=downsample,
+                    quant_eval=True)
+    variables = ref.init(jax.random.PRNGKey(0), x, True)
+    # non-trivial BN stats so the fold is exercised
+    variables = jax.tree.map(lambda v: v, variables)
+    stats = jax.tree.map(
+        lambda v: v + jnp.asarray(
+            np.abs(rng.randn(*v.shape)).astype(np.float32) * 0.3),
+        variables["batch_stats"])
+    variables = {"params": variables["params"], "batch_stats": stats}
+
+    want = np.asarray(ref.apply(variables, x, False))
+
+    calls = {"n": 0}
+    orig = quant.conv_int8
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    quant.conv_int8 = counting
+    try:
+        got = np.asarray(qb.apply(variables, x, False))
+    finally:
+        quant.conv_int8 = orig
+
+    assert calls["n"] == (4 if downsample else 3)
+    assert got.shape == want.shape
+    denom = np.sqrt((want ** 2).mean()) + 1e-8
+    rms = np.sqrt(((got - want) ** 2).mean()) / denom
+    assert rms < 0.06, rms
+
+
+def test_backbone_quant_composes_with_fused():
+    """ResNetPyramid(quant_eval=True): every Bottleneck conv runs int8
+    when the Pallas guard doesn't take the block; pyramid shapes and
+    finiteness preserved; params identical to the fp model."""
+    import dir_tpu.ops.quant as quant
+    from dir_tpu.models.resnet import ResNetPyramid
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    ref = ResNetPyramid(layers=(1, 1, 1, 1))
+    qn = ResNetPyramid(layers=(1, 1, 1, 1), quant_eval=True)
+    variables = ref.init(jax.random.PRNGKey(0), x, True)
+
+    calls = {"n": 0}
+    orig = quant.conv_int8
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    quant.conv_int8 = counting
+    try:
+        feats = qn.apply(variables, x, False)
+    finally:
+        quant.conv_int8 = orig
+
+    # 4 blocks x (3 convs + 1 downsample) = 16 int8 convs
+    assert calls["n"] == 16
+    ref_feats = ref.apply(variables, x, False)
+    for f, rf in zip(feats, ref_feats):
+        assert f.shape == rf.shape
+        assert np.isfinite(np.asarray(f)).all()

@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--backbone_layers", type=str, default="3,4,6,3")
     ap.add_argument("--stem", type=str, default="conv7",
                     choices=["conv7", "s2d"])
+    ap.add_argument("--quant_backbone", action="store_true",
+                    help="embed the int8 PTQ backbone path in the "
+                         "artifact (ops/quant.py; serving numerics)")
     ap.add_argument("--platforms", type=str, default="",
                     help="comma-separated lowering platforms "
                          "(default: current backend)")
@@ -69,7 +72,8 @@ def main():
         mano_l, mano_r = load_mano_pair(opt.mano_path)
     layers = tuple(int(x) for x in opt.backbone_layers.split(","))
     cfg = ModelConfig(dtype=opt.dtype, backbone_layers=layers,
-                      backbone_stem=opt.stem)
+                      backbone_stem=opt.stem,
+                      quant_backbone_eval=opt.quant_backbone)
     model = DIR(cfg)
 
     img0 = jnp.zeros((1, 256, 256, 3), jnp.float32)

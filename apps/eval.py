@@ -57,6 +57,9 @@ def main():
                          "MXU rate + half the conv bytes; PTQ numerics "
                          "(~1e-2) — a serving option, NOT for parity "
                          "metric reproduction")
+    ap.add_argument("--quant_decoder", action="store_true",
+                    help="int8 PTQ decoder Residual convs (same "
+                         "caveats as --quant_backbone)")
     ap.add_argument("--devices", type=int, default=1,
                     help="data-parallel eval: shard each batch over a 1-D "
                          "mesh of N local devices (weights replicated, "
@@ -101,7 +104,8 @@ def main():
     cfg = ModelConfig(root_joint=opt.root_joint, dtype=opt.dtype,
                       backbone_layers=layers, backbone_stem=opt.stem,
                       fused_bottleneck_eval=opt.fused_bottleneck,
-                      quant_backbone_eval=opt.quant_backbone)
+                      quant_backbone_eval=opt.quant_backbone,
+                      quant_decoder_eval=opt.quant_decoder)
     model = DIR(cfg)
 
     img0 = jnp.zeros((1, 256, 256, 3), jnp.float32)

@@ -45,9 +45,11 @@ def bench_eval():
     model, _, mano_l, mano_r = _flagship(
         dtype="bfloat16", fused_bottleneck_eval=True,
         backbone_stem=os.environ.get("STEM", "conv7"),
-        # QUANT=1: int8 PTQ backbone convs (ops/quant.py) — a serving
-        # -option A/B knob, not the parity default.
-        quant_backbone_eval=os.environ.get("QUANT", "0") == "1")
+        # QUANT=1: int8 PTQ backbone convs (ops/quant.py); QUANT=2 also
+        # quantizes the decoder Residuals — serving-option A/B knobs,
+        # not the parity default.
+        quant_backbone_eval=int(os.environ.get("QUANT", "0")) >= 1,
+        quant_decoder_eval=int(os.environ.get("QUANT", "0")) >= 2)
     rng = np.random.RandomState(0)
     img = jnp.asarray(rng.randn(BATCH, 256, 256, 3).astype(np.float32))
     # Shape-only init: parameter values are irrelevant for throughput and

@@ -71,6 +71,10 @@ class ModelConfig:
     # measured-best Pallas path keeps the 64^2 layer1 blocks, int8
     # takes the compute-bound layer2+ blocks.
     quant_backbone_eval: bool = False
+    # Same, for the decoder's Residual blocks (convs on existing
+    # params, pre-activation BNs stay fp). Separate knob so the TPU
+    # A/B isolates backbone vs decoder int8 wins.
+    quant_decoder_eval: bool = False
     # MANO contraction precision: "highest" (bit-parity eval) or "high"
     # (bf16x3, ~1e-6 rel err, ~2x fewer MXU passes — use for training).
     mano_precision: str = "highest"

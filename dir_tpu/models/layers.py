@@ -177,10 +177,16 @@ class Residual(nn.Module):
 
     features: int
     dtype: object = jnp.float32
+    # Inference-only int8 PTQ path (ops/quant.py): each conv runs
+    # s8 x s8 -> s32 on its existing parameters; the pre-activation BNs
+    # stay fp (elementwise). Serving option, never the parity default.
+    quant_eval: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
                  pair: jnp.ndarray | None = None) -> jnp.ndarray:
+        if self.quant_eval and not train and not self.is_initializing():
+            return self._quant_infer(x, pair)
         half = self.features // 2
         in_dim = x.shape[-1] + (pair.shape[-1] if pair is not None else 0)
 
@@ -222,6 +228,42 @@ class Residual(nn.Module):
         out = nn.Conv(self.features, (1, 1), use_bias=True,
                       kernel_init=conv_kernel_init, dtype=self.dtype,
                       name="conv3")(out)
+        return out + skip
+
+    def _quant_infer(self, x: jnp.ndarray,
+                     pair: jnp.ndarray | None) -> jnp.ndarray:
+        """Int8 execution on the block's existing variables. The pair
+        concat materializes here (its HBM cost is half in int8 terms and
+        the pair algebra would need per-part scales); parameter tree is
+        the same as every other mode."""
+        from dir_tpu.ops.quant import quant_conv
+
+        if pair is not None:
+            x = jnp.concatenate([x, pair], axis=-1)
+
+        p = lambda n: self.get_variable("params", n)  # noqa: E731
+        s = lambda n: self.get_variable("batch_stats", n)  # noqa: E731
+
+        def bn_inf(name, v):
+            pr, st = p(name), s(name)
+            mul = jax.lax.rsqrt(st["var"] + BN_EPS) * pr["scale"]
+            y = (v.astype(jnp.float32) - st["mean"]) * mul + pr["bias"]
+            return y.astype(self.dtype)
+
+        def qc(name, v, k3=False):
+            pr = p(name)
+            return quant_conv(v, pr["kernel"],
+                              padding=((1, 1), (1, 1)) if k3 else "SAME",
+                              bias=pr["bias"].astype(jnp.float32),
+                              out_dtype=self.dtype)
+
+        if x.shape[-1] == self.features:
+            skip = x.astype(self.dtype)
+        else:
+            skip = qc("skip", x)
+        out = qc("conv1", nn.relu(bn_inf("bn1", x)))
+        out = qc("conv2", nn.relu(bn_inf("bn2", out)), k3=True)
+        out = qc("conv3", nn.relu(bn_inf("bn3", out)))
         return out + skip
 
 

@@ -139,6 +139,53 @@ def test_bottleneck_quant_path(downsample, stride):
     assert rms < 0.06, rms
 
 
+@pytest.mark.parametrize("with_pair,channels", [(False, 64), (False, 32),
+                                                (True, 32)])
+def test_residual_quant_path(with_pair, channels):
+    """Residual.quant_eval (decoder blocks): int8 convs on the existing
+    variable tree track the fp block within PTQ error; the int8 path
+    actually runs (3 convs + skip when channels mismatch)."""
+    import dir_tpu.ops.quant as quant
+    from dir_tpu.models.layers import Residual
+
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(2, 8, 8, channels).astype(np.float32))
+    pair = (jnp.asarray(rng.randn(2, 8, 8, 16).astype(np.float32))
+            if with_pair else None)
+
+    ref = Residual(64)
+    qb = Residual(64, quant_eval=True)
+    kw = {"pair": pair} if with_pair else {}
+    variables = ref.init(jax.random.PRNGKey(0), x, True, **kw)
+    stats = jax.tree.map(
+        lambda v: v + jnp.asarray(
+            np.abs(rng.randn(*v.shape)).astype(np.float32) * 0.2),
+        variables["batch_stats"])
+    variables = {"params": variables["params"], "batch_stats": stats}
+
+    want = np.asarray(ref.apply(variables, x, False, **kw))
+
+    calls = {"n": 0}
+    orig = quant.conv_int8
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    quant.conv_int8 = counting
+    try:
+        got = np.asarray(qb.apply(variables, x, False, **kw))
+    finally:
+        quant.conv_int8 = orig
+
+    in_dim = channels + (16 if with_pair else 0)
+    assert calls["n"] == (3 if in_dim == 64 else 4)
+    assert got.shape == want.shape
+    denom = np.sqrt((want ** 2).mean()) + 1e-8
+    rms = np.sqrt(((got - want) ** 2).mean()) / denom
+    assert rms < 0.06, rms
+
+
 def test_backbone_quant_composes_with_fused():
     """ResNetPyramid(quant_eval=True): every Bottleneck conv runs int8
     when the Pallas guard doesn't take the block; pyramid shapes and

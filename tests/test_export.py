@@ -72,3 +72,64 @@ def test_export_symbolic_batch(setup, rng):
 def test_load_rejects_foreign_blob():
     with pytest.raises(ValueError, match="bad magic"):
         serve.load_infer(b"not an artifact")
+
+
+def test_http_server_roundtrip(setup, rng, tmp_path):
+    """apps/serve_http.py end-to-end on a live socket: healthz, /infer
+    with an .npy body -> .npz response matching the direct model call,
+    /stats accounting, and a 400 on a malformed body."""
+    import importlib.util
+    import io
+    import json
+    import os
+    import threading
+    import urllib.error
+    import urllib.request
+
+    model, variables, mano_l, mano_r = setup
+    blob = serve.export_infer(model, variables, mano_l, mano_r,
+                              batch_size=None)
+    path = str(tmp_path / "dir.stablehlo")
+    serve.save(path, blob)
+
+    spec = importlib.util.spec_from_file_location(
+        "serve_http", os.path.join(os.path.dirname(__file__), "..",
+                                   "apps", "serve_http.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    srv = mod.make_server(path, port=0)  # OS-assigned free port
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        assert urllib.request.urlopen(f"{base}/healthz").read() == b"ok"
+
+        img = rng.randn(2, 256, 256, 3).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, img)
+        resp = urllib.request.urlopen(f"{base}/infer", buf.getvalue(),
+                                      timeout=300)
+        out = np.load(io.BytesIO(resp.read()))
+        want = model.apply(variables, jnp.asarray(img), mano_l, mano_r,
+                           train=False)["stages"][-1]
+        np.testing.assert_allclose(out["mesh_xyz_left"],
+                                   np.asarray(want["pd_mesh_xyz_left"]),
+                                   rtol=1e-5, atol=1e-5)
+        assert out["offset"].shape == (2, 3)
+
+        stats = json.loads(
+            urllib.request.urlopen(f"{base}/stats").read())
+        assert stats["requests"] == 1 and stats["images"] == 2
+        assert stats["avg_latency_ms"] > 0
+
+        try:
+            urllib.request.urlopen(f"{base}/infer", b"garbage")
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "error" in json.loads(e.read())
+    finally:
+        srv.shutdown()
+        srv.server_close()

@@ -12,12 +12,20 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Subprocesses spawned by tests (the parity script, the 2-process
+# distributed test) inherit os.environ — the box exports
+# JAX_PLATFORMS=axon (the tunneled TPU), so without this override a
+# child process rides the tunnel and hangs the suite whenever the
+# tunnel is down (observed: test_run_reference_parity_script timing
+# out at 1200 s against a dead tunnel).
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax  # noqa: E402
 
-# Force CPU via the config (not the env var): the environment's
-# sitecustomize registers a tunneled TPU backend and programmatically
-# sets jax_platforms, which overrides JAX_PLATFORMS — tests must not
-# silently run through the device tunnel.
+# Force CPU via the config too (not just the env var): the
+# environment's sitecustomize registers the tunneled TPU backend and
+# programmatically sets jax_platforms, which overrides JAX_PLATFORMS —
+# in-process tests must not silently run through the device tunnel.
 jax.config.update("jax_platforms", "cpu")
 
 # Tests validate math, not kernel speed: pin matmuls to full precision

@@ -138,29 +138,34 @@ def main():
         variables = {"params": restored.params,
                      "batch_stats": restored.batch_stats}
 
-    # Data-parallel mesh: batch axis sharded, weights replicated; XLA
-    # propagates the sharding through the whole forward + metric program
-    # (every op is batch-parallel), so no collectives are emitted and
-    # per-sample outputs are identical to the single-device run
-    # (tests/test_apps_cli.py::test_eval_cli_sharded).
+    # Data-parallel mesh: batch axis sharded, weights replicated. The
+    # forward + metric program is batch-parallel, so per-sample outputs
+    # equal the single-device run on the same batch
+    # (tests/test_apps_cli.py::test_eval_cli_sharded, incl. the quant
+    # path — whose dynamic activation scales are whole-batch |max|
+    # reductions, i.e. cheap scalar all-reduces under sharding with
+    # unchanged semantics). --fused_bottleneck is refused: pallas_call
+    # has no SPMD partitioning rule, so the sharded operand would be
+    # all-gathered (or fail) at every fused block — unmeasured, so
+    # unsupported rather than silently slow.
     mesh = None
     if opt.devices > 1:
-        from jax.sharding import NamedSharding, PartitionSpec
-        from dir_tpu.parallel.mesh import (batch_sharding, make_mesh,
-                                           replicated_sharding)
+        from dir_tpu.parallel.mesh import (make_mesh, replicated_sharding,
+                                           shard_batch)
         if opt.bs % opt.devices:
             ap.error("--bs must be divisible by --devices")
+        if opt.fused_bottleneck:
+            ap.error("--devices does not compose with --fused_bottleneck "
+                     "(Pallas kernels don't partition under GSPMD)")
         mesh = make_mesh(opt.devices)
         variables = jax.device_put(variables, replicated_sharding(mesh))
-        _bshard = batch_sharding(mesh)
-        _sshard = NamedSharding(mesh, PartitionSpec(None, "data"))
 
     def place(x, stacked=False):
-        """Host array -> device, batch-sharded when a mesh is active."""
-        x = jnp.asarray(x)
+        """Host array -> device, batch-sharded when a mesh is active
+        (single-hop placement via mesh.shard_batch)."""
         if mesh is not None:
-            x = jax.device_put(x, _sshard if stacked else _bshard)
-        return x
+            return shard_batch(x, mesh, leading_steps=stacked)
+        return jnp.asarray(x)
 
     ds = InterHandDataset(opt.data_path, "test", mano_l, mano_r,
                           augment_train=False)

@@ -42,6 +42,8 @@ def main():
     ap.add_argument("--quant_backbone", action="store_true",
                     help="embed the int8 PTQ backbone path in the "
                          "artifact (ops/quant.py; serving numerics)")
+    ap.add_argument("--quant_decoder", action="store_true",
+                    help="embed the int8 PTQ decoder-Residual path")
     ap.add_argument("--platforms", type=str, default="",
                     help="comma-separated lowering platforms "
                          "(default: current backend)")
@@ -73,7 +75,8 @@ def main():
     layers = tuple(int(x) for x in opt.backbone_layers.split(","))
     cfg = ModelConfig(dtype=opt.dtype, backbone_layers=layers,
                       backbone_stem=opt.stem,
-                      quant_backbone_eval=opt.quant_backbone)
+                      quant_backbone_eval=opt.quant_backbone,
+                      quant_decoder_eval=opt.quant_decoder)
     model = DIR(cfg)
 
     img0 = jnp.zeros((1, 256, 256, 3), jnp.float32)

@@ -47,6 +47,11 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
 
 import numpy as np  # noqa: E402
 
+# Reject /infer bodies beyond this size before buffering them (batch
+# 1024 of float32 256x256x3 is ~800 MB; anything larger is a mistake
+# or abuse, not a workload this host can hold twice in memory).
+MAX_BODY_BYTES = int(os.environ.get("SERVE_MAX_BODY", str(1 << 30)))
+
 
 def _final_outputs(out: dict, full: bool) -> dict:
     f = out["stages"][-1]
@@ -95,6 +100,12 @@ def make_handler(infer, lock, stats, full: bool):
                 return
             try:
                 n = int(self.headers.get("Content-Length", "0"))
+                if n > MAX_BODY_BYTES:
+                    self._send(413, json.dumps(
+                        {"error": f"body {n} B exceeds the "
+                                  f"{MAX_BODY_BYTES} B limit"}).encode(),
+                        "application/json")
+                    return
                 img = np.load(io.BytesIO(self.rfile.read(n)),
                               allow_pickle=False)
                 if img.ndim != 4 or img.shape[-1] != 3:

@@ -110,7 +110,6 @@ def test_bottleneck_quant_path(downsample, stride):
                     quant_eval=True)
     variables = ref.init(jax.random.PRNGKey(0), x, True)
     # non-trivial BN stats so the fold is exercised
-    variables = jax.tree.map(lambda v: v, variables)
     stats = jax.tree.map(
         lambda v: v + jnp.asarray(
             np.abs(rng.randn(*v.shape)).astype(np.float32) * 0.3),
@@ -186,10 +185,42 @@ def test_residual_quant_path(with_pair, channels):
     assert rms < 0.06, rms
 
 
-def test_backbone_quant_composes_with_fused():
+def test_fused_guard_takes_precedence_over_quant():
+    """With BOTH flags set, a block the Pallas guard accepts (stride 1,
+    >=128 input channels, spatial >= 4096) runs the fused path, NOT the
+    int8 path — the measured-best layer1 treatment wins (resnet.py
+    guard ordering). Both paths are stubbed; only dispatch is tested."""
+    from dir_tpu.models.resnet import Bottleneck
+
+    x = jnp.zeros((1, 64, 64, 256), jnp.float32)
+    blk = Bottleneck(planes=64, fused_eval=True, quant_eval=True)
+    variables = blk.init(jax.random.PRNGKey(0), x, True)
+
+    calls = []
+    orig_fused = Bottleneck._fused_infer
+    orig_quant = Bottleneck._quant_infer
+    Bottleneck._fused_infer = lambda self, x, bands=0: (
+        calls.append("fused") or x)
+    Bottleneck._quant_infer = lambda self, x: calls.append("quant") or x
+    try:
+        blk.apply(variables, x, False)
+        assert calls == ["fused"]
+        # a block the Pallas guard rejects (small spatial) falls through
+        # to the int8 path
+        calls.clear()
+        xs = jnp.zeros((1, 16, 16, 256), jnp.float32)
+        vs = blk.init(jax.random.PRNGKey(0), xs, True)
+        blk.apply(vs, xs, False)
+        assert calls == ["quant"]
+    finally:
+        Bottleneck._fused_infer = orig_fused
+        Bottleneck._quant_infer = orig_quant
+
+
+def test_backbone_quant_all_blocks():
     """ResNetPyramid(quant_eval=True): every Bottleneck conv runs int8
-    when the Pallas guard doesn't take the block; pyramid shapes and
-    finiteness preserved; params identical to the fp model."""
+    (no fused flag here — guard-ordering is covered above); pyramid
+    shapes and finiteness preserved; params identical to the fp model."""
     import dir_tpu.ops.quant as quant
     from dir_tpu.models.resnet import ResNetPyramid
 

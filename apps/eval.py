@@ -60,6 +60,10 @@ def main():
     ap.add_argument("--quant_decoder", action="store_true",
                     help="int8 PTQ decoder Residual convs (same "
                          "caveats as --quant_backbone)")
+    ap.add_argument("--quant_static", action="store_true",
+                    help="static (calibrated) activation scales: one "
+                         "calibration pass over the first batch, then "
+                         "no per-conv reductions at serving time")
     ap.add_argument("--devices", type=int, default=1,
                     help="data-parallel eval: shard each batch over a 1-D "
                          "mesh of N local devices (weights replicated, "
@@ -68,6 +72,9 @@ def main():
                          "TPU-pod equivalent of its batch loop.")
     opt = ap.parse_args()
 
+    if opt.quant_static and not (opt.quant_backbone or opt.quant_decoder):
+        ap.error("--quant_static requires --quant_backbone and/or "
+                 "--quant_decoder")
     if opt.fused_bottleneck and opt.dtype != "bfloat16":
         # The kernel's fp32 VMEM temporaries overflow the 16 MB budget at
         # the production 64x64x256 shape (ops/pallas_bottleneck.py) —
@@ -105,7 +112,8 @@ def main():
                       backbone_layers=layers, backbone_stem=opt.stem,
                       fused_bottleneck_eval=opt.fused_bottleneck,
                       quant_backbone_eval=opt.quant_backbone,
-                      quant_decoder_eval=opt.quant_decoder)
+                      quant_decoder_eval=opt.quant_decoder,
+                      quant_static=opt.quant_static)
     model = DIR(cfg)
 
     img0 = jnp.zeros((1, 256, 256, 3), jnp.float32)
@@ -172,6 +180,23 @@ def main():
     loader = BatchLoader(ds, opt.bs, shuffle=False, drop_last=False,
                          pad_last=True, num_threads=4)
     logger.info("evaluating %d samples", len(ds))
+
+    if opt.quant_static:
+        # One calibration pass on the first batch fills the
+        # "quant_stats" amax collection (ops/quant.py:module_act_scale);
+        # serving then reads the stored scales with no per-conv
+        # reductions. More batches would only tighten the tails —
+        # maxes accumulate monotonically if this loop is extended.
+        from dir_tpu.ops.quant import merge_calibration
+        calib = jax.jit(lambda v, img: model.apply(
+            v, img, mano_l, mano_r, train=False,
+            mutable=["quant_stats"])[1])
+        first = next(iter(loader))
+        variables = merge_calibration(
+            variables, jax.device_get(calib(variables,
+                                            jnp.asarray(first["img"]))))
+        logger.info("calibrated static int8 scales on one batch of %d",
+                    first["img"].shape[0])
 
     jreg_l = evaluate.extended_j_regressor(mano_l)
     jreg_r = evaluate.extended_j_regressor(mano_r)

@@ -44,6 +44,13 @@ def main():
                          "artifact (ops/quant.py; serving numerics)")
     ap.add_argument("--quant_decoder", action="store_true",
                     help="embed the int8 PTQ decoder-Residual path")
+    ap.add_argument("--quant_static", action="store_true",
+                    help="static activation scales; calibrated on "
+                         "--calib_npy images (or one random batch with "
+                         "a warning) and embedded in the artifact")
+    ap.add_argument("--calib_npy", type=str, default="",
+                    help=".npy of (N, 256, 256, 3) float32 calibration "
+                         "images for --quant_static")
     ap.add_argument("--platforms", type=str, default="",
                     help="comma-separated lowering platforms "
                          "(default: current backend)")
@@ -73,10 +80,14 @@ def main():
     else:
         mano_l, mano_r = load_mano_pair(opt.mano_path)
     layers = tuple(int(x) for x in opt.backbone_layers.split(","))
+    if opt.quant_static and not (opt.quant_backbone or opt.quant_decoder):
+        ap.error("--quant_static requires --quant_backbone and/or "
+                 "--quant_decoder")
     cfg = ModelConfig(dtype=opt.dtype, backbone_layers=layers,
                       backbone_stem=opt.stem,
                       quant_backbone_eval=opt.quant_backbone,
-                      quant_decoder_eval=opt.quant_decoder)
+                      quant_decoder_eval=opt.quant_decoder,
+                      quant_static=opt.quant_static)
     model = DIR(cfg)
 
     img0 = jnp.zeros((1, 256, 256, 3), jnp.float32)
@@ -106,6 +117,24 @@ def main():
             os.path.basename(opt.model))
         variables = {"params": restored.params,
                      "batch_stats": restored.batch_stats}
+
+    if opt.quant_static:
+        from dir_tpu.ops.quant import merge_calibration
+        if opt.calib_npy:
+            imgs = np.load(opt.calib_npy).astype(np.float32)
+        else:
+            logger.warning("no --calib_npy: calibrating static int8 "
+                           "scales on ONE RANDOM batch — fine for smoke "
+                           "tests, wrong for production artifacts")
+            imgs = np.random.RandomState(0).randn(
+                2, 256, 256, 3).astype(np.float32)
+        calib = jax.jit(lambda v, im: model.apply(
+            v, im, mano_l, mano_r, train=False,
+            mutable=["quant_stats"])[1])
+        variables = merge_calibration(variables,
+                                      calib(variables, jnp.asarray(imgs)))
+        logger.info("calibrated static int8 scales on %d images",
+                    imgs.shape[0])
 
     platforms = ([p for p in opt.platforms.split(",") if p]
                  if opt.platforms else None)

@@ -46,10 +46,12 @@ def bench_eval():
         dtype="bfloat16", fused_bottleneck_eval=True,
         backbone_stem=os.environ.get("STEM", "conv7"),
         # QUANT=1: int8 PTQ backbone convs (ops/quant.py); QUANT=2 also
-        # quantizes the decoder Residuals — serving-option A/B knobs,
-        # not the parity default.
+        # quantizes the decoder Residuals; QUANT_STATIC=1 swaps the
+        # dynamic activation scales for calibrated ones — serving
+        # -option A/B knobs, not the parity default.
         quant_backbone_eval=int(os.environ.get("QUANT", "0")) >= 1,
-        quant_decoder_eval=int(os.environ.get("QUANT", "0")) >= 2)
+        quant_decoder_eval=int(os.environ.get("QUANT", "0")) >= 2,
+        quant_static=os.environ.get("QUANT_STATIC", "0") == "1")
     rng = np.random.RandomState(0)
     img = jnp.asarray(rng.randn(BATCH, 256, 256, 3).astype(np.float32))
     # Shape-only init: parameter values are irrelevant for throughput and
@@ -57,6 +59,13 @@ def bench_eval():
     shapes = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0), img[:1], mano_l, mano_r))
     variables = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+    if os.environ.get("QUANT_STATIC", "0") == "1":
+        calib = jax.jit(lambda v, im: model.apply(
+            v, im, mano_l, mano_r, train=False,
+            mutable=["quant_stats"])[1])
+        from dir_tpu.ops.quant import merge_calibration
+        variables = merge_calibration(variables, calib(variables, img))
 
     def one(image):
         out = model.apply(variables, image, mano_l, mano_r, train=False)

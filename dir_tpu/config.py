@@ -75,6 +75,12 @@ class ModelConfig:
     # params, pre-activation BNs stay fp). Separate knob so the TPU
     # A/B isolates backbone vs decoder int8 wins.
     quant_decoder_eval: bool = False
+    # Static (calibrated) activation scales instead of dynamic live
+    # |max|: removes the per-conv-input reduction (the quantize fuses
+    # into the producer's epilogue) at the cost of a calibration pass
+    # — run the model with mutable=["quant_stats"] on representative
+    # batches and merge the updates (ops/quant.py:merge_calibration).
+    quant_static: bool = False
     # MANO contraction precision: "highest" (bit-parity eval) or "high"
     # (bf16x3, ~1e-6 rel err, ~2x fewer MXU passes — use for training).
     mano_precision: str = "highest"

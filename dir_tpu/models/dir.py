@@ -359,32 +359,33 @@ class Decoder(nn.Module):
         # analyze_layers.py) never materialize. Training keeps the
         # concat (layers.py _PAIR_FUSION for the measurements).
         q = cfg.quant_decoder_eval
+        qs = cfg.quant_static
         c4_up = upsample2x(c4)
-        c3_skip = Residual(d, dtype=dt, quant_eval=q,
+        c3_skip = Residual(d, dtype=dt, quant_eval=q, quant_static=qs,
                            name="skip_layer4")(c3, train)
-        fusion = Residual(d, dtype=dt, quant_eval=q, name="fusion_layer4")(
-            c4_up, train, pair=c3_skip)
+        fusion = Residual(d, dtype=dt, quant_eval=q, quant_static=qs,
+                          name="fusion_layer4")(c4_up, train, pair=c3_skip)
         # Feature size derived from the actual map (16 at 256^2 input) so
         # the model is input-size agnostic; distances stay configured.
         result, stage_feats = RefineStage(
             cfg, fusion.shape[1], cfg.stage_distances[0],
             name="projecter_4")(fusion, init_out, mano_left, mano_right,
                                 train)
-        enhance = Residual(d, dtype=dt, quant_eval=q,
+        enhance = Residual(d, dtype=dt, quant_eval=q, quant_static=qs,
                            name="enhance_layer4")(
             fusion, train, pair=stage_feats["img_feat"])
         outputs.append(result)
 
         # Stage 2 @ 32x32 (dir.py:458-471)
         c3_up = upsample2x(enhance)
-        c2_skip = Residual(d, dtype=dt, quant_eval=q,
+        c2_skip = Residual(d, dtype=dt, quant_eval=q, quant_static=qs,
                            name="skip_layer3")(c2, train)
-        fusion = Residual(d, dtype=dt, quant_eval=q, name="fusion_layer3")(
-            c3_up, train, pair=c2_skip)
+        fusion = Residual(d, dtype=dt, quant_eval=q, quant_static=qs,
+                          name="fusion_layer3")(c3_up, train, pair=c2_skip)
         result, stage_feats = RefineStage(
             cfg, fusion.shape[1], cfg.stage_distances[1],
             name="projecter_3")(fusion, result, mano_left, mano_right, train)
-        enhance = Residual(d, dtype=dt, quant_eval=q,
+        enhance = Residual(d, dtype=dt, quant_eval=q, quant_static=qs,
                            name="enhance_layer3")(
             fusion, train, pair=stage_feats["img_feat"])
         outputs.append(result)
@@ -426,6 +427,7 @@ class DIR(nn.Module):
                               stem=self.cfg.backbone_stem,
                               fused_eval=self.cfg.fused_bottleneck_eval,
                               quant_eval=self.cfg.quant_backbone_eval,
+                              quant_static=self.cfg.quant_static,
                               name="backbone")(img, train)
         init_out = InitRegressor(self.cfg, name="init_regressor")(
             feats[-1], mano_left, mano_right, train)

@@ -181,6 +181,9 @@ class Residual(nn.Module):
     # s8 x s8 -> s32 on its existing parameters; the pre-activation BNs
     # stay fp (elementwise). Serving option, never the parity default.
     quant_eval: bool = False
+    # Static (calibrated) activation scales — see ops/quant.py:
+    # module_act_scale.
+    quant_static: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
@@ -236,7 +239,7 @@ class Residual(nn.Module):
         concat materializes here (its HBM cost is half in int8 terms and
         the pair algebra would need per-part scales); parameter tree is
         the same as every other mode."""
-        from dir_tpu.ops.quant import quant_conv
+        from dir_tpu.ops.quant import module_act_scale, quant_conv
 
         if pair is not None:
             x = jnp.concatenate([x, pair], axis=-1)
@@ -252,10 +255,11 @@ class Residual(nn.Module):
 
         def qc(name, v, k3=False):
             pr = p(name)
+            sc = module_act_scale(self, f"{name}_in", v, self.quant_static)
             return quant_conv(v, pr["kernel"],
                               padding=((1, 1), (1, 1)) if k3 else "SAME",
                               bias=pr["bias"].astype(jnp.float32),
-                              out_dtype=self.dtype)
+                              out_dtype=self.dtype, act_scale=sc)
 
         if x.shape[-1] == self.features:
             skip = x.astype(self.dtype)

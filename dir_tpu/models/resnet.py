@@ -58,6 +58,10 @@ class Bottleneck(nn.Module):
     # are set layer1 stays Pallas — measured best — and int8 takes the
     # compute-bound layer2+). PTQ numerics, serving option only.
     quant_eval: bool = False
+    # Static (calibrated) activation scales from the "quant_stats"
+    # collection instead of live per-batch |max| (ops/quant.py:
+    # module_act_scale). Requires a calibration pass.
+    quant_static: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -158,7 +162,7 @@ class Bottleneck(nn.Module):
         channel, activations per-tensor dynamically. Residual add +
         relu stay in the trunk dtype."""
         from dir_tpu.ops.pallas_bottleneck import fold_bn
-        from dir_tpu.ops.quant import quant_conv
+        from dir_tpu.ops.quant import module_act_scale, quant_conv
 
         p = lambda n: self.get_variable("params", n)  # noqa: E731
         s = lambda n: self.get_variable("batch_stats", n)  # noqa: E731
@@ -168,20 +172,27 @@ class Bottleneck(nn.Module):
                            p(bnn)["bias"], s(bnn)["mean"], s(bnn)["var"],
                            BN_EPS)
 
+        def scale(name, v):
+            return module_act_scale(self, name, v, self.quant_static)
+
         w1, b1 = fold("conv1", "bn1")
         w2, b2 = fold("conv2", "bn2")
         w3, b3 = fold("conv3", "bn3")
 
-        out = nn.relu(quant_conv(x, w1, bias=b1, out_dtype=self.dtype))
+        out = nn.relu(quant_conv(x, w1, bias=b1, out_dtype=self.dtype,
+                                 act_scale=scale("conv1_in", x)))
         out = nn.relu(quant_conv(out, w2, (self.stride, self.stride),
-                                 ((1, 1), (1, 1)), b2, self.dtype))
-        out = quant_conv(out, w3, bias=b3, out_dtype=self.dtype)
+                                 ((1, 1), (1, 1)), b2, self.dtype,
+                                 act_scale=scale("conv2_in", out)))
+        out = quant_conv(out, w3, bias=b3, out_dtype=self.dtype,
+                         act_scale=scale("conv3_in", out))
 
         identity = x.astype(self.dtype)
         if self.downsample:
             wd, bd = fold("down_conv", "down_bn")
             identity = quant_conv(x, wd, (self.stride, self.stride),
-                                  "SAME", bd, self.dtype)
+                                  "SAME", bd, self.dtype,
+                                  act_scale=scale("down_in", x))
         return nn.relu(out + identity)
 
 
@@ -200,6 +211,7 @@ class BasicBlock(nn.Module):
     dtype: object = jnp.float32
     fused_eval: bool = False  # accepted for API symmetry; no fused path
     quant_eval: bool = False  # accepted for API symmetry; no int8 path
+    quant_static: bool = False  # accepted for API symmetry
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -279,6 +291,7 @@ class ResNetPyramid(nn.Module):
     stem: str = "conv7"
     fused_eval: bool = False  # see Bottleneck.fused_eval
     quant_eval: bool = False  # see Bottleneck.quant_eval
+    quant_static: bool = False  # see Bottleneck.quant_static
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
@@ -322,11 +335,13 @@ class ResNetPyramid(nn.Module):
             x = blk(p, stride=stride, downsample=down,
                     dtype=self.dtype, fused_eval=self.fused_eval,
                     quant_eval=self.quant_eval,
+                    quant_static=self.quant_static,
                     name=f"layer{stage + 1}_0")(x, train)
             for b in range(1, blocks):
                 x = blk(p, dtype=self.dtype,
                         fused_eval=self.fused_eval,
                         quant_eval=self.quant_eval,
+                        quant_static=self.quant_static,
                         name=f"layer{stage + 1}_{b}")(x, train)
             feats.append(x)
         return feats

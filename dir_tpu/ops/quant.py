@@ -20,6 +20,19 @@ Scheme (standard PTQ, chosen so NO calibration pass is needed):
   - accumulation in int32 (preferred_element_type), dequantized with
     act_scale * w_scale[o] in fp32, bias added post-dequant.
 
+Two activation-scale modes:
+  - DYNAMIC (default): scale from the live batch |max|. Zero setup,
+    saturation-free, but each conv input pays a full reduction that
+    must complete before the quantize pass (two passes over the
+    activation).
+  - STATIC (``quant_static``): scales read from a "quant_stats"
+    variable collection filled by a calibration pass — run the model
+    once (or N times; maxes accumulate monotonically) with
+    ``mutable=["quant_stats"]`` and merge the updates into the
+    variables. The quantize then needs no reduction, so XLA can fuse
+    it into the producer's epilogue; inputs beyond the calibrated
+    range saturate at +/-127 (standard PTQ behavior).
+
 Numerics: exact when weights and activations are already representable
 on the int8 grid (tests/test_quant.py grid test); on random data the
 per-conv relative error is the usual ~1e-2 PTQ regime — a serving
@@ -48,14 +61,59 @@ def quantize_weight_per_channel(w: jnp.ndarray) -> Tuple[jnp.ndarray,
     return q, scale
 
 
+def scale_from_amax(amax: jnp.ndarray) -> jnp.ndarray:
+    """Symmetric per-tensor scale; 1.0 for an all-zero tensor."""
+    return jnp.where(amax > 0, amax / 127.0, 1.0)
+
+
+def quantize_act(x: jnp.ndarray,
+                 scale: jnp.ndarray) -> jnp.ndarray:
+    """fp activations -> int8 on the given symmetric per-tensor scale
+    (values beyond 127*scale saturate)."""
+    return jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                    -127, 127).astype(jnp.int8)
+
+
 def quantize_act_dynamic(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """fp activations -> (int8, fp32 scalar scale), symmetric per-tensor
     with the scale from the live |max| (dynamic quantization)."""
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
-    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
-                 -127, 127).astype(jnp.int8)
-    return q, scale
+    scale = scale_from_amax(jnp.max(jnp.abs(x.astype(jnp.float32))))
+    return quantize_act(x, scale), scale
+
+
+def module_act_scale(mod, name: str, x: jnp.ndarray,
+                     static: bool) -> jnp.ndarray:
+    """Activation scale for a conv input inside a flax module.
+
+    Three behaviors:
+      - dynamic (static=False, not calibrating): live |max|; no
+        variable is touched, so the default path needs no collection.
+      - calibrating (the "quant_stats" collection is mutable in this
+        apply): a scalar amax variable named ``name`` accumulates the
+        running max across calibration calls; the live scale is used
+        for this call's outputs.
+      - static serving (static=True): the stored amax is read —
+        variables must carry the "quant_stats" collection produced by
+        calibration (flax raises on a missing collection otherwise).
+    """
+    calibrating = mod.is_mutable_collection("quant_stats")
+    live = None
+    if not static or calibrating:
+        live = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    if static or calibrating:
+        var = mod.variable("quant_stats", name,
+                           lambda: jnp.zeros((), jnp.float32))
+        if calibrating:
+            var.value = jnp.maximum(var.value, live)
+        else:
+            live = var.value
+    return scale_from_amax(live)
+
+
+def merge_calibration(variables: dict, updates: dict) -> dict:
+    """Fold a ``mutable=["quant_stats"]`` apply's updates into the
+    variable dict for static-scale serving."""
+    return {**variables, "quant_stats": updates["quant_stats"]}
 
 
 def conv_int8(x_q: jnp.ndarray, w_q: jnp.ndarray,
@@ -84,11 +142,16 @@ def conv_int8(x_q: jnp.ndarray, w_q: jnp.ndarray,
 def quant_conv(x: jnp.ndarray, w: jnp.ndarray,
                stride: Tuple[int, int] = (1, 1), padding="SAME",
                bias: Optional[jnp.ndarray] = None,
-               out_dtype=None) -> jnp.ndarray:
+               out_dtype=None,
+               act_scale: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Quantize-then-convolve: the drop-in int8 replacement for an
-    inference ``conv(x, w) + bias``."""
+    inference ``conv(x, w) + bias``. ``act_scale``: a precomputed
+    (static/calibrated) activation scale; None = dynamic live |max|."""
     if out_dtype is None:
         out_dtype = x.dtype
-    x_q, x_s = quantize_act_dynamic(x)
+    if act_scale is None:
+        x_q, x_s = quantize_act_dynamic(x)
+    else:
+        x_q, x_s = quantize_act(x, act_scale), act_scale
     w_q, w_s = quantize_weight_per_channel(w)
     return conv_int8(x_q, w_q, x_s, w_s, stride, padding, bias, out_dtype)

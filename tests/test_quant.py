@@ -217,6 +217,56 @@ def test_fused_guard_takes_precedence_over_quant():
         Bottleneck._quant_infer = orig_quant
 
 
+def test_static_scales_match_dynamic_after_calibration():
+    """Calibrate on batch X, then static-serve the SAME batch: stored
+    amax == live max, so static and dynamic paths agree exactly."""
+    from dir_tpu.models.resnet import Bottleneck
+    from dir_tpu.ops.quant import merge_calibration
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 16, 16, 32).astype(np.float32))
+    dyn = Bottleneck(planes=8, downsample=True, quant_eval=True)
+    sta = Bottleneck(planes=8, downsample=True, quant_eval=True,
+                     quant_static=True)
+    variables = dyn.init(jax.random.PRNGKey(0), x, True)
+
+    want = np.asarray(dyn.apply(variables, x, False))
+
+    _, ups = sta.apply(variables, x, False, mutable=["quant_stats"])
+    qs = ups["quant_stats"]
+    assert set(qs) == {"conv1_in", "conv2_in", "conv3_in", "down_in"}
+    got = np.asarray(sta.apply(merge_calibration(variables, ups), x,
+                               False))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_static_calibration_accumulates_and_saturates():
+    """Maxes accumulate monotonically across calibration calls; serving
+    inputs beyond the calibrated range saturate (finite, bounded)."""
+    from dir_tpu.models.layers import Residual
+    from dir_tpu.ops.quant import merge_calibration
+
+    rng = np.random.RandomState(8)
+    x_small = jnp.asarray(rng.randn(2, 8, 8, 64).astype(np.float32))
+    x_big = x_small * 4.0
+    sta = Residual(64, quant_eval=True, quant_static=True)
+    variables = sta.init(jax.random.PRNGKey(0), x_small, True)
+
+    _, up1 = sta.apply(variables, x_big, False, mutable=["quant_stats"])
+    v2 = merge_calibration(variables, up1)
+    _, up2 = sta.apply(v2, x_small, False, mutable=["quant_stats"])
+    a1 = np.asarray(up1["quant_stats"]["conv1_in"])
+    a2 = np.asarray(up2["quant_stats"]["conv1_in"])
+    assert a2 == a1  # the smaller batch cannot lower the stored max
+
+    # calibrated on x_small only, served on 4x bigger: saturates
+    _, up_small = sta.apply(variables, x_small, False,
+                            mutable=["quant_stats"])
+    out = np.asarray(sta.apply(merge_calibration(variables, up_small),
+                               x_big, False))
+    assert np.isfinite(out).all()
+
+
 def test_backbone_quant_all_blocks():
     """ResNetPyramid(quant_eval=True): every Bottleneck conv runs int8
     (no fused flag here — guard-ordering is covered above); pyramid

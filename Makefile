@@ -11,11 +11,9 @@ test-fast:
 test:
 	python -m pytest tests/ -q
 
-# .xla_cache policy: committed entries are the driver's cold-start warm
-# cache for the CPU dryrun/compile checks (TPU compiles go through the
-# tunnel and do not populate it). New generations appear whenever a
-# dryrun-path program changes; commit the fresh entries with the change
-# that produced them and drop superseded ones here so driver artifacts
-# stay readable.
+# .xla_cache policy: local-only compile cache (gitignored). Committing
+# it bought only ~30 s on the driver's ~5.5 min cold dryrun while adding
+# 25-81 MB blobs per entry to git history (advisor r3) — regenerated on
+# first run instead.
 cache-clean:
-	git clean -f .xla_cache
+	rm -rf .xla_cache

@@ -191,7 +191,8 @@ def main():
         calib = jax.jit(lambda v, img: model.apply(
             v, img, mano_l, mano_r, train=False,
             mutable=["quant_stats"])[1])
-        first = next(iter(loader))
+        # synchronous single batch: no prefetch thread, no epoch advance
+        first = loader.peek_batch()
         variables = merge_calibration(
             variables, jax.device_get(calib(variables,
                                             jnp.asarray(first["img"]))))

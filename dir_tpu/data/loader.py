@@ -76,6 +76,16 @@ class BatchLoader:
             batches.append((chunk, len(chunk)))
         return batches
 
+    def peek_batch(self) -> Dict[str, np.ndarray]:
+        """The first batch, built synchronously: no prefetch thread to
+        leak, no epoch advance. For one-off uses like int8 static-scale
+        calibration (apps/eval.py --quant_static), where abandoning a
+        started iterator would leave the producer blocked on q.put."""
+        chunk, valid = self._index_batches()[0]
+        batch = collate([self.dataset[i] for i in chunk])
+        batch["_valid"] = np.asarray(valid, np.int32)
+        return batch
+
     def __iter__(self) -> Iterator:
         if hasattr(self.dataset, "epoch"):
             self.dataset.epoch = self._epoch
@@ -83,6 +93,19 @@ class BatchLoader:
         self._epoch += 1
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+
+        def put_interruptible(item) -> bool:
+            # q.put with a stop check: a plain blocking put deadlocks
+            # the producer forever if the consumer abandons the
+            # generator while the queue is full (stop was only checked
+            # between batches).
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             with ThreadPoolExecutor(self.num_threads) as pool:
@@ -92,8 +115,9 @@ class BatchLoader:
                     samples = list(pool.map(self.dataset.__getitem__, chunk))
                     batch = collate(samples)
                     batch["_valid"] = np.asarray(valid, np.int32)
-                    q.put(batch)
-            q.put(None)
+                    if not put_interruptible(batch):
+                        return
+            put_interruptible(None)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()

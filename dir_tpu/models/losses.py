@@ -180,9 +180,14 @@ def dir_losses(outputs: dict, targets: dict, cfg: ModelConfig,
     stride = targets["seg"].shape[1] // map_size
     # torch nearest-downsample picks src index dst*stride exactly.
     gt_seg = targets["seg"][:, ::stride, ::stride]
+    # antialias=False: torch F.interpolate(mode='bilinear') does NOT
+    # antialias on downsample (dir.py:566); jax.image.resize defaults to
+    # antialias=True, which disagrees by up to 0.47 on [0,1] data
+    # (oracle: tests/test_reference_oracle.py dense-downsample check).
     gt_dense = jax.image.resize(
         targets["dense"],
-        (targets["dense"].shape[0], map_size, map_size, 3), method="linear")
+        (targets["dense"].shape[0], map_size, map_size, 3), method="linear",
+        antialias=False)
     loss["seg"] = weighted_cross_entropy(
         seg_logits, gt_seg, cfg.seg_class_weights) * cfg.seg_weight * \
         cfg.dense_weight

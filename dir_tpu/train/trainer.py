@@ -36,6 +36,19 @@ _BATCH_KEYS = (
 )
 
 
+def opt_steps_per_epoch(num_samples: int, batch_size: int,
+                        grad_accum: int) -> int:
+    """OPTIMIZER steps per epoch — the lr-schedule quantum. With
+    grad_accum=N the state.step counter advances once per N loader
+    micro-batches (one optimizer step per stacked group), so the
+    micro-batch count is divided by N to keep the epoch-quantized
+    cosine/step schedule on the reference's wall-epoch cadence
+    (torch scheduler stepped per epoch, reference train.py:84).
+    steps_per_call needs no adjustment: its scan increments step once
+    per inner batch."""
+    return max(1, num_samples // batch_size // max(1, grad_accum))
+
+
 class Trainer:
     def __init__(self, cfg: Config, mano_left: ManoModel,
                  mano_right: ManoModel, mesh=None):
@@ -97,7 +110,8 @@ class Trainer:
 
     def make_model(self, init_params=None, init_stats=None):
         c = self.cfg
-        steps_per_epoch = max(1, len(self.train_ds) // c.train.batch_size)
+        steps_per_epoch = opt_steps_per_epoch(
+            len(self.train_ds), c.train.batch_size, c.train.grad_accum)
         self.tx = make_optimizer(c.train, steps_per_epoch)
         self.sched = lr_schedule(c.train, steps_per_epoch)
 
@@ -168,6 +182,12 @@ class Trainer:
             if len(buf) == spc:
                 yield {k: np.stack([x[k] for x in buf]) for k in buf[0]}
                 buf = []
+        if buf:
+            # make the coverage loss visible rather than silent: the
+            # trailing partial group is dropped exactly like drop_last
+            self.logger.info(
+                "dropped %d trailing batch(es) not filling a group of %d",
+                len(buf), spc)
 
     def _save_meta(self, ckpt_dir: str, epoch: int):
         meta = {"epoch": epoch + 1, "best": self.best}

@@ -447,3 +447,139 @@ def test_ref_full_dir_forward(rng):
         scale = np.abs(want).max() + 1e-6
         np.testing.assert_allclose(np.asarray(out[key]) / scale,
                                    want / scale, atol=5e-5, err_msg=key)
+
+
+def test_ref_training_loss_assembly(rng):
+    """The last oracle gap (VERDICT r3): execute the reference's
+    training-mode forward — the REAL ``DIR.forward(input, target,
+    meta_info)`` loss block (models/dir.py:541-594) — and assert every
+    term of its loss dict against dir_losses on converted weights, in
+    both per-stage and fused-stage variants. Covers the x10/x1/x0.1
+    weights, the (xyz-center)/0.15 GT normalization, the nearest-seg /
+    bilinear-dense downsamples (dir.py:565-566) and the offset
+    definition by execution rather than by reading."""
+    oracle.patch_manopth_synthetic()
+    from models.dir import DIR as RefDIR
+
+    torch.manual_seed(25)
+    tmod = RefDIR(21, "/nonexistent/mano", root_joint=0)
+    _randomize_bn_stats(tmod, rng)
+    tmod.train()  # training mode: BN uses batch stats, loss block runs
+
+    params, stats = ck.convert_torch_dir_state(_sd(tmod))
+
+    from dir_tpu.config import ModelConfig
+    from dir_tpu.mano import fix_left_shapedirs, synthetic_mano
+    from dir_tpu.models.dir import DIR
+    from dir_tpu.models.losses import dir_losses, total_loss
+
+    cfg = ModelConfig()
+    mano_r = synthetic_mano("right", seed=0)
+    mano_l = fix_left_shapedirs(synthetic_mano("left", seed=0), mano_r)
+    model = DIR(cfg)
+
+    b = 2
+    batch = {
+        "img": rng.randn(b, 256, 256, 3).astype(np.float32),
+        "joint_2d_left": rng.uniform(-1, 1, (b, 21, 3)).astype(np.float32),
+        "joint_2d_right": rng.uniform(-1, 1, (b, 21, 3)).astype(np.float32),
+        "mesh_2d_left": rng.uniform(-1, 1, (b, 778, 3)).astype(np.float32),
+        "mesh_2d_right": rng.uniform(-1, 1, (b, 778, 3)).astype(np.float32),
+        "joint_3d_left": (rng.randn(b, 21, 3) * 0.05).astype(np.float32),
+        "joint_3d_right": (rng.randn(b, 21, 3) * 0.05).astype(np.float32),
+        "mesh_3d_left": (rng.randn(b, 778, 3) * 0.05).astype(np.float32),
+        "mesh_3d_right": (rng.randn(b, 778, 3) * 0.05).astype(np.float32),
+        "center_left": (rng.randn(b, 1, 3) * 0.05).astype(np.float32),
+        "center_right": (rng.randn(b, 1, 3) * 0.05).astype(np.float32),
+        "seg": rng.randint(0, 3, size=(b, 256, 256)).astype(np.int32),
+        "dense": rng.rand(b, 256, 256, 3).astype(np.float32),
+    }
+
+    # --- reference: train-mode forward computes the loss dict ---------
+    t = {k: torch.from_numpy(v) for k, v in batch.items()}
+    ref_input = {"img": t["img"].permute(0, 3, 1, 2).contiguous()}
+    ref_target = {
+        **{k: t[k] for k in (
+            "joint_2d_left", "joint_2d_right", "mesh_2d_left",
+            "mesh_2d_right", "joint_3d_left", "joint_3d_right",
+            "mesh_3d_left", "mesh_3d_right")},
+        # reference layout: seg (B,1,H,W) float for nearest interpolate
+        # then .long(); dense NCHW (dir.py:563-566)
+        "seg": t["seg"].float().unsqueeze(1),
+        "dense": t["dense"].permute(0, 3, 1, 2).contiguous(),
+    }
+    ref_meta = {"center_left": t["center_left"],
+                "center_right": t["center_right"]}
+    with torch.no_grad():
+        _, ref_loss = tmod(ref_input, ref_target, ref_meta)
+    ref_loss = {k: float(v) for k, v in ref_loss.items()}
+    assert len(ref_loss) == 3 + 3 * 13  # seg/dense/lovasz + 13 x stage
+
+    # --- ours: converted weights, train=True forward + dir_losses -----
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jb["img"][:1], mano_l,
+                           mano_r))
+    params = ck.prune_to_target(params, shapes["params"])
+    stats = ck.prune_to_target(stats, shapes["batch_stats"])
+
+    @jax.jit
+    def losses_fn(v, batch):
+        out, _ = model.apply(v, batch["img"], mano_l, mano_r, train=True,
+                             mutable=["batch_stats"])
+        per_stage = dir_losses(out, batch, cfg, mano_l.faces, mano_r.faces)
+        fused = dir_losses(out, batch, cfg, mano_l.faces, mano_r.faces,
+                           fused_stages=True)
+        return per_stage, fused
+
+    per_stage, fused = jax.device_get(
+        losses_fn({"params": params, "batch_stats": stats}, jb))
+
+    # every reference term, by its own key (identical naming scheme)
+    assert set(ref_loss) == set(per_stage)
+    for k, want in sorted(ref_loss.items()):
+        got = float(per_stage[k])
+        np.testing.assert_allclose(
+            got, want, rtol=2e-3, atol=2e-4,
+            err_msg=f"loss term {k}: ours {got} vs reference {want}")
+
+    # fused-stage variant: each *_all aggregate == sum of the
+    # reference's per-stage terms; totals match (train.py:69 sums all)
+    for base in ("joint_left_uv", "joint_right_uv", "mesh_left_uv",
+                 "mesh_right_uv", "joint_left_xyz", "joint_right_xyz",
+                 "mesh_left_xyz", "mesh_right_xyz", "edge_left",
+                 "edge_right", "normal_left", "normal_right", "offset"):
+        want = sum(ref_loss[f"{base}_{i}"] for i in range(3))
+        np.testing.assert_allclose(
+            float(fused[f"{base}_all"]), want, rtol=2e-3, atol=3e-4,
+            err_msg=f"fused aggregate {base}_all")
+    np.testing.assert_allclose(
+        float(total_loss(fused)), sum(ref_loss.values()), rtol=2e-3)
+
+
+def test_ref_dense_seg_downsample(rng):
+    """Focused oracle for the GT downsamples in the loss block
+    (dir.py:565-566): the end-to-end loss-term comparison can mask a
+    wrong gt_dense (randomized-BN predictions dwarf a 0.5 GT shift
+    inside a SmoothL1 mean), so compare the downsampled GT tensors
+    themselves against torch. Caught: jax.image.resize defaults to
+    antialias=True; torch bilinear does not antialias (maxdiff 0.47)."""
+    import torch.nn.functional as F
+
+    dense = rng.rand(2, 256, 256, 3).astype(np.float32)
+    seg = rng.randint(0, 3, size=(2, 256, 256)).astype(np.int32)
+
+    want_dense = F.interpolate(
+        torch.from_numpy(dense).permute(0, 3, 1, 2), (32, 32),
+        mode="bilinear").permute(0, 2, 3, 1).numpy()
+    want_seg = F.interpolate(
+        torch.from_numpy(seg.astype(np.float32)).unsqueeze(1), (32, 32),
+        mode="nearest").long().squeeze(1).numpy()
+
+    got_dense = np.asarray(jax.image.resize(
+        jnp.asarray(dense), (2, 32, 32, 3), method="linear",
+        antialias=False))
+    got_seg = np.asarray(jnp.asarray(seg)[:, ::8, ::8])
+
+    np.testing.assert_allclose(got_dense, want_dense, atol=1e-6)
+    np.testing.assert_array_equal(got_seg, want_seg)

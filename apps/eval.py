@@ -64,6 +64,13 @@ def main():
                     help="static (calibrated) activation scales: one "
                          "calibration pass over the first batch, then "
                          "no per-conv reductions at serving time")
+    ap.add_argument("--resume_every", type=int, default=200,
+                    help="dump the metric accumulators to "
+                         "<out>/eval_resume.npz every N batches and "
+                         "auto-resume from it on restart (0 disables). "
+                         "Makes the full-test-set parity run through "
+                         "the flaky tunnel survivable: a multi-hour "
+                         "outage costs at most N batches of rework.")
     ap.add_argument("--devices", type=int, default=1,
                     help="data-parallel eval: shard each batch over a 1-D "
                          "mesh of N local devices (weights replicated, "
@@ -228,6 +235,47 @@ def main():
                             "vert2d_left", "vert2d_right", "root",
                             "joints_xyz_left", "joints_xyz_right")}
 
+    # --- resume machinery: periodic accumulator checkpoints ------------
+    # The error dumps are per-sample and order-preserving, so the whole
+    # eval state is (accumulated arrays, batches consumed). The config
+    # fingerprint guards against resuming a different run's file.
+    import json as _json
+    resume_path = os.path.join(opt.out, "eval_resume.npz")
+    config_fp = _json.dumps({
+        "model": opt.model, "data_path": opt.data_path, "bs": opt.bs,
+        "root_joint": opt.root_joint, "scale": opt.scale,
+        "stage": opt.stage, "dtype": opt.dtype,
+        "backbone_layers": opt.backbone_layers, "stem": opt.stem,
+        "quant": [opt.quant_backbone, opt.quant_decoder, opt.quant_static],
+    }, sort_keys=True)
+    start_batch = 0
+    if opt.resume_every and os.path.exists(resume_path):
+        saved = np.load(resume_path, allow_pickle=False)
+        if str(saved["_config"]) == config_fp:
+            start_batch = int(saved["_batches_done"])
+            for k in dump:
+                if len(saved[k]):
+                    dump[k] = [saved[k]]
+            logger.info("resuming eval at batch %d/%d from %s",
+                        start_batch, len(loader), resume_path)
+        else:
+            logger.warning("ignoring %s: config fingerprint differs",
+                           resume_path)
+
+    def save_resume(batches_done: int) -> None:
+        arrs = {k: (np.concatenate(v, axis=0) if v
+                    else np.zeros((0,), np.float32))
+                for k, v in dump.items()}
+        tmp = resume_path + ".tmp.npz"  # .npz suffix: savez won't append
+        np.savez(tmp, _batches_done=batches_done, _config=config_fp, **arrs)
+        os.replace(tmp, resume_path)  # atomic swap
+
+    def maybe_save(batches_done: int) -> None:
+        if opt.resume_every and batches_done % opt.resume_every == 0:
+            save_resume(batches_done)
+            logger.info("checkpointed eval accumulators at batch %d",
+                        batches_done)
+
     def accumulate(batch):
         vl, vr, off = forward(place(batch["img"]))
         errs = evaluate.batch_errors(
@@ -273,16 +321,23 @@ def main():
             for k in dump:
                 dump[k].append(np.asarray(errs[k])[:n])
 
-        for batch in loader:
+        consumed = start_batch
+        for batch in loader.iter_from(start_batch):
             pending.append(batch)
             if len(pending) == opt.unroll:
                 flush()
+                consumed += opt.unroll
+                maybe_save(consumed)
         flush()
     else:
-        for batch in loader:
+        for bi, batch in enumerate(loader.iter_from(start_batch),
+                                   start=start_batch + 1):
             accumulate(batch)
+            maybe_save(bi)
 
     d = {k: np.concatenate(v, axis=0) for k, v in dump.items()}
+    if opt.resume_every and os.path.exists(resume_path):
+        os.remove(resume_path)  # complete: drop the partial state
     np.savetxt(f"{opt.out}/left_joint.txt",
                d["joints_xyz_left"].reshape(-1, 63) * 1000, fmt="%.3f")
     np.savetxt(f"{opt.out}/right_joint.txt",

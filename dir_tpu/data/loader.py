@@ -87,9 +87,16 @@ class BatchLoader:
         return batch
 
     def __iter__(self) -> Iterator:
+        return self.iter_from(0)
+
+    def iter_from(self, start: int) -> Iterator:
+        """Iterate from batch index ``start`` in the SAME deterministic
+        order __iter__ would use this epoch — skipped batches are never
+        decoded. Lets a resumed offline eval (apps/eval.py) fast-forward
+        past already-accumulated batches at zero decode cost."""
         if hasattr(self.dataset, "epoch"):
             self.dataset.epoch = self._epoch
-        batches = self._index_batches()
+        batches = self._index_batches()[start:]
         self._epoch += 1
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

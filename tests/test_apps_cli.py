@@ -177,3 +177,62 @@ def test_export_cli_smoke(tmp_path, monkeypatch):
         "--out", out, "--check"])
     app.main()  # SystemExit on failed roundtrip check
     assert os.path.getsize(out) > 1_000_000  # weights embedded
+
+
+@pytest.mark.slow
+def test_eval_resume_matches_uninterrupted(tmp_path, monkeypatch, capsys):
+    """apps/eval.py --resume_every: interrupting after 2 of 3 batches and
+    rerunning produces the identical SUMMARY and per-sample dumps as one
+    uninterrupted run (VERDICT r3 #7: the licensed-data parity run must
+    survive a multi-hour tunnel outage)."""
+    from dir_tpu.data import synthetic
+    from dir_tpu.data.loader import BatchLoader
+    from dir_tpu.mano import fix_left_shapedirs, synthetic_mano
+
+    right = synthetic_mano("right", seed=0)
+    left = fix_left_shapedirs(synthetic_mano("left", seed=0), right)
+    data_dir = str(tmp_path / "data")
+    synthetic.generate(data_dir, left, right, split="test", num_samples=6)
+    app = _load_app("eval")
+
+    def run(out_dir):
+        monkeypatch.setattr(sys, "argv", [
+            "eval", "--model", "random", "--data_path", data_dir,
+            "--out", out_dir, "--bs", "2", "--backbone_layers", "1,1,1,1",
+            "--synthetic_mano", "--resume_every", "1"])
+        app.main()
+        out = capsys.readouterr().out
+        import json
+        return json.loads(next(ln for ln in out.splitlines()
+                                if ln.startswith("SUMMARY "))[8:])
+
+    # --- uninterrupted reference run ---
+    want = run(str(tmp_path / "full"))
+
+    # --- interrupted run: die after 2 of 3 batches ---
+    out_dir = str(tmp_path / "resumed")
+    real_iter_from = BatchLoader.iter_from
+
+    def dying_iter_from(self, start):
+        for i, b in enumerate(real_iter_from(self, start)):
+            if start + i >= 2:
+                raise RuntimeError("simulated tunnel outage")
+            yield b
+
+    monkeypatch.setattr(BatchLoader, "iter_from", dying_iter_from)
+    with pytest.raises(RuntimeError, match="simulated tunnel outage"):
+        run(out_dir)
+    capsys.readouterr()
+    resume_file = os.path.join(out_dir, "eval_resume.npz")
+    assert os.path.exists(resume_file)
+    assert int(np.load(resume_file)["_batches_done"]) == 2
+
+    # --- resumed run: completes and matches ---
+    monkeypatch.setattr(BatchLoader, "iter_from", real_iter_from)
+    got = run(out_dir)
+    assert got == want
+    assert not os.path.exists(resume_file)  # cleaned up on completion
+    for f in ("joint_left_error.txt", "root_loss.txt", "left_joint.txt"):
+        a = np.loadtxt(os.path.join(out_dir, f))
+        b = np.loadtxt(os.path.join(str(tmp_path / "full"), f))
+        np.testing.assert_array_equal(a, b)

@@ -30,13 +30,20 @@ expected sizes to pay their compiles before traffic.
 
 Usage:
     python apps/serve_http.py --artifact dir.stablehlo --port 8000 \
-        [--warmup 1,32] [--full]
+        [--warmup 1,32] [--full] [--microbatch 32 --window_ms 3]
+
+--microbatch N coalesces concurrent requests into one device dispatch
+of up to N images (MicroBatcher below): under concurrent small-batch
+load the device runs one batched program instead of a queue of batch-1
+launches. The warmed sizes double as padding buckets so ragged
+micro-batches hit pre-compiled programs.
 """
 
 import argparse
 import io
 import json
 import os
+import queue
 import sys
 import threading
 import time
@@ -68,7 +75,109 @@ def _final_outputs(out: dict, full: bool) -> dict:
     return resp
 
 
-def make_handler(infer, lock, stats, full: bool):
+class MicroBatcher:
+    """Coalesce concurrent /infer requests into one device dispatch.
+
+    The single-flight path serializes requests behind the device lock —
+    under concurrent b=1 load every request pays a full program launch
+    and the MXU runs at batch-1 utilization. This dispatcher queues
+    requests, waits up to ``window_ms`` after the first arrival (or
+    until ``max_batch`` images are pending), concatenates them along the
+    batch axis, runs ONE inference, and slices the outputs back per
+    request. Correct because the network is batch-parallel in eval mode
+    (BN uses running stats; attention is over each sample's own 42
+    joint tokens — no cross-batch mixing).
+
+    ``buckets``: sorted batch sizes to zero-pad a coalesced batch up to
+    (pad rows sliced away before responding). A symbolic-batch artifact
+    compiles per distinct size — padding to the warmed sizes keeps the
+    compile count bounded under ragged traffic.
+    """
+
+    def __init__(self, infer, lock, stats, full: bool, max_batch: int,
+                 window_ms: float, buckets=()):
+        self.infer = infer
+        self.lock = lock
+        self.stats = stats
+        self.full = full
+        self.max_batch = max_batch
+        self.window_s = window_ms / 1e3
+        self.buckets = tuple(sorted(b for b in buckets if b > 0))
+        self.q = queue.SimpleQueue()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self.q.put(None)
+        self._thread.join(timeout=10)
+
+    def submit(self, img: np.ndarray) -> dict:
+        slot = {"event": threading.Event(), "out": None, "err": None}
+        self.q.put((img, slot))
+        slot["event"].wait()
+        if slot["err"] is not None:
+            raise slot["err"]
+        return slot["out"]
+
+    def _collect(self):
+        """Block for the first request, then gather more until the
+        window closes or max_batch images are pending. Returns the
+        group, or None on the shutdown sentinel."""
+        first = self.q.get()
+        if first is None:
+            return None
+        group = [first]
+        total = first[0].shape[0]
+        deadline = time.monotonic() + self.window_s
+        while total < self.max_batch:
+            left = deadline - time.monotonic()
+            if left <= 0:
+                break
+            try:
+                nxt = self.q.get(timeout=left)
+            except queue.Empty:
+                break
+            if nxt is None:
+                self.q.put(None)  # re-post for the next _collect
+                break
+            group.append(nxt)
+            total += nxt[0].shape[0]
+        return group
+
+    def _loop(self):
+        while True:
+            group = self._collect()
+            if group is None:
+                return
+            batch = (np.concatenate([g[0] for g in group])
+                     if len(group) > 1 else group[0][0])
+            n_real = batch.shape[0]
+            pad_to = next((b for b in self.buckets if b >= n_real), n_real)
+            if pad_to > n_real:
+                batch = np.concatenate(
+                    [batch, np.zeros((pad_to - n_real,) + batch.shape[1:],
+                                     batch.dtype)])
+            try:
+                with self.lock:
+                    out = self.infer(batch)
+                    resp = {k: np.asarray(v) for k, v in
+                            _final_outputs(out, self.full).items()}
+                    self.stats["dispatches"] += 1
+                    self.stats["images"] += n_real
+            except Exception as e:  # noqa: BLE001 — propagate per-request
+                for _, slot in group:
+                    slot["err"] = e
+                    slot["event"].set()
+                continue
+            ofs = 0
+            for img, slot in group:
+                n = img.shape[0]
+                slot["out"] = {k: v[ofs:ofs + n] for k, v in resp.items()}
+                ofs += n
+                slot["event"].set()
+
+
+def make_handler(infer, lock, stats, full: bool, batcher=None):
     class Handler(BaseHTTPRequestHandler):
         # quiet per-request stderr lines (stats endpoint replaces them)
         def log_message(self, fmt, *args):  # noqa: N802
@@ -90,6 +199,9 @@ def make_handler(infer, lock, stats, full: bool):
                 s["avg_latency_ms"] = (
                     round(1e3 * s.pop("lat_sum") / s["requests"], 2)
                     if s["requests"] else None)
+                s["avg_batch"] = (
+                    round(s["images"] / s["dispatches"], 2)
+                    if s["dispatches"] else None)
                 self._send(200, json.dumps(s).encode(), "application/json")
             else:
                 self._send(404, b"not found", "text/plain")
@@ -112,13 +224,20 @@ def make_handler(infer, lock, stats, full: bool):
                     raise ValueError(f"expected (B, H, W, 3), got "
                                      f"{img.shape}")
                 t0 = time.perf_counter()
-                with lock:  # ONE device client; serialize dispatch
-                    out = infer(img.astype(np.float32))
-                    resp = {k: np.asarray(v) for k, v in
-                            _final_outputs(out, full).items()}
-                    stats["requests"] += 1
-                    stats["images"] += int(img.shape[0])
-                    stats["lat_sum"] += time.perf_counter() - t0
+                if batcher is not None:
+                    resp = batcher.submit(img.astype(np.float32))
+                    with lock:
+                        stats["requests"] += 1
+                        stats["lat_sum"] += time.perf_counter() - t0
+                else:
+                    with lock:  # ONE device client; serialize dispatch
+                        out = infer(img.astype(np.float32))
+                        resp = {k: np.asarray(v) for k, v in
+                                _final_outputs(out, full).items()}
+                        stats["requests"] += 1
+                        stats["dispatches"] += 1
+                        stats["images"] += int(img.shape[0])
+                        stats["lat_sum"] += time.perf_counter() - t0
                 buf = io.BytesIO()
                 np.savez(buf, **resp)
                 self._send(200, buf.getvalue())
@@ -131,16 +250,24 @@ def make_handler(infer, lock, stats, full: bool):
 
 
 def make_server(artifact: str, host: str = "127.0.0.1", port: int = 8000,
-                full: bool = False):
-    """Build (but don't start) the server — also the test entry point."""
+                full: bool = False, max_batch: int = 0,
+                window_ms: float = 3.0, buckets=()):
+    """Build (but don't start) the server — also the test entry point.
+
+    ``max_batch > 0`` enables request micro-batching (see MicroBatcher);
+    0 keeps the single-flight path."""
     from dir_tpu import serve
 
     infer = serve.load(artifact)
     lock = threading.Lock()
-    stats = {"requests": 0, "images": 0, "lat_sum": 0.0}
-    srv = ThreadingHTTPServer((host, port),
-                              make_handler(infer, lock, stats, full))
+    stats = {"requests": 0, "images": 0, "dispatches": 0, "lat_sum": 0.0}
+    batcher = (MicroBatcher(infer, lock, stats, full, max_batch,
+                            window_ms, buckets)
+               if max_batch > 0 else None)
+    srv = ThreadingHTTPServer(
+        (host, port), make_handler(infer, lock, stats, full, batcher))
     srv.infer = infer  # exposed for warmup (same jit cache)
+    srv.batcher = batcher
     return srv
 
 
@@ -155,6 +282,12 @@ def main():
                          "compile per size)")
     ap.add_argument("--full", action="store_true",
                     help="include seg/dense maps in responses")
+    ap.add_argument("--microbatch", type=int, default=0,
+                    help="coalesce concurrent requests into one device "
+                         "dispatch of up to this many images (0 = off)")
+    ap.add_argument("--window_ms", type=float, default=3.0,
+                    help="how long a micro-batch waits for more "
+                         "requests after the first arrives")
     opt = ap.parse_args()
 
     import jax
@@ -164,9 +297,14 @@ def main():
     from dir_tpu.utils.logger import setup_logger
     logger = setup_logger(name="dir_tpu.serve")
 
-    srv = make_server(opt.artifact, opt.host, opt.port, opt.full)
+    warm = ([int(x) for x in opt.warmup.split(",")] if opt.warmup else [])
+    # warmed sizes double as the padding buckets: micro-batches pad up
+    # to a pre-compiled size instead of compiling per ragged size
+    srv = make_server(opt.artifact, opt.host, opt.port, opt.full,
+                      max_batch=opt.microbatch, window_ms=opt.window_ms,
+                      buckets=warm)
     if opt.warmup:
-        for b in (int(x) for x in opt.warmup.split(",")):
+        for b in warm:
             t0 = time.perf_counter()
             jax.block_until_ready(
                 srv.infer(np.zeros((b, 256, 256, 3), np.float32)))

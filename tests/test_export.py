@@ -133,3 +133,73 @@ def test_http_server_roundtrip(setup, rng, tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_http_microbatching(setup, rng, tmp_path):
+    """Concurrent b=1 requests coalesce into fewer device dispatches
+    (MicroBatcher), pad up to the bucket size, and every request still
+    gets ITS OWN rows — outputs match the direct model call."""
+    import importlib.util
+    import io
+    import json
+    import os
+    import threading
+    import urllib.request
+
+    model, variables, mano_l, mano_r = setup
+    blob = serve.export_infer(model, variables, mano_l, mano_r,
+                              batch_size=None)
+    path = str(tmp_path / "dir.stablehlo")
+    serve.save(path, blob)
+
+    spec = importlib.util.spec_from_file_location(
+        "serve_http", os.path.join(os.path.dirname(__file__), "..",
+                                   "apps", "serve_http.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    # long window: the 4 concurrent requests below must coalesce even
+    # on a loaded 1-core CI host
+    srv = mod.make_server(path, port=0, max_batch=8, window_ms=2000.0,
+                          buckets=(8,))
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        imgs = [rng.randn(1, 256, 256, 3).astype(np.float32)
+                for _ in range(4)]
+        outs = [None] * 4
+
+        def post(i):
+            buf = io.BytesIO()
+            np.save(buf, imgs[i])
+            r = urllib.request.urlopen(f"{base}/infer", buf.getvalue(),
+                                       timeout=600)
+            outs[i] = dict(np.load(io.BytesIO(r.read())))
+
+        threads = [threading.Thread(target=post, args=(i,))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert all(o is not None for o in outs)
+
+        want = model.apply(variables, jnp.asarray(np.concatenate(imgs)),
+                           mano_l, mano_r, train=False)["stages"][-1]
+        for i, out in enumerate(outs):
+            np.testing.assert_allclose(
+                out["mesh_xyz_left"],
+                np.asarray(want["pd_mesh_xyz_left"])[i:i + 1],
+                rtol=2e-4, atol=2e-4)
+            assert out["offset"].shape == (1, 3)
+
+        stats = json.loads(urllib.request.urlopen(f"{base}/stats").read())
+        assert stats["requests"] == 4
+        assert stats["images"] == 4  # pad rows not counted
+        assert stats["dispatches"] < 4  # coalescing actually happened
+        assert stats["avg_batch"] > 1
+    finally:
+        srv.batcher.stop()
+        srv.shutdown()
+        srv.server_close()

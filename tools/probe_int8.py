@@ -39,7 +39,9 @@ def bench(name, loop, flops, x0, x1, w):
     t1 = time.perf_counter()
     # host fetch: exposes compute that block_until_ready failed to wait
     # for (observed on the tunneled backend for some programs)
-    chk = np.asarray(out[:1, ..., :4]).sum()
+    # float() — bf16/int8 outputs come back as ml_dtypes scalars whose
+    # __format__ rejects the 'f' code (crashed the round-4 probe run)
+    chk = float(np.asarray(out[:1, ..., :4], np.float32).sum())
     t2 = time.perf_counter()
     dt = (t1 - t0) / ITERS
     print(f"{name}: {dt * 1e3:.3f} ms  -> {flops / dt / 1e12:.1f} T/s"

@@ -2,7 +2,8 @@
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
-     "train_step_ms_b64": N, "train_img_per_sec": N}
+     "train_step_ms_b64": N, "train_img_per_sec": N,
+     "serving_int8_static_img_per_sec": N}
 
 Headline metric: end-to-end jitted inference images/sec on the flagship
 model (ResNet-50 backbone, both MANO hands, 2 refinement stages,
@@ -46,6 +47,15 @@ import jax.numpy as jnp
 import numpy as np
 
 A100_EST_IMG_PER_SEC = 1000.0
+# BENCH_COMPILER_OPTIONS: JSON dict of XLA compiler options applied to
+# the measured programs (e.g. '{"xla_tpu_scoped_vmem_limit_kib": 65536}').
+# Passed per-computation via jit(compiler_options=...) so they ride the
+# remote-compile request and are parsed by the backend's compiler — the
+# local jaxlib ABORTS on unknown --xla_tpu_* names in XLA_FLAGS, so the
+# env-var route cannot reach TPU knobs through this tunnel
+# (tools/xla_flag_sweep.py).
+COMPILER_OPTIONS = (json.loads(os.environ["BENCH_COMPILER_OPTIONS"])
+                    if os.environ.get("BENCH_COMPILER_OPTIONS") else None)
 # 256 matches the reference's eval batch size (apps/eval.py:92)
 BATCH = int(os.environ.get("BENCH_BATCH", "256"))
 TRAIN_BATCH = int(os.environ.get("BENCH_TRAIN_BATCH", "64"))
@@ -53,19 +63,24 @@ WARMUP = 3
 ITERS = 10
 
 
-def bench_eval():
+def bench_eval(quant=None, quant_static=None):
     from __graft_entry__ import _flagship
 
+    # QUANT=1: int8 PTQ backbone convs (ops/quant.py); QUANT=2 also
+    # quantizes the decoder Residuals; QUANT_STATIC=1 swaps the
+    # dynamic activation scales for calibrated ones — serving
+    # -option A/B knobs, not the parity default. main() also calls
+    # this with explicit args for the serving_int8 extra key.
+    if quant is None:
+        quant = int(os.environ.get("QUANT", "0"))
+    if quant_static is None:
+        quant_static = os.environ.get("QUANT_STATIC", "0") == "1"
     model, _, mano_l, mano_r = _flagship(
         dtype="bfloat16", fused_bottleneck_eval=True,
         backbone_stem=os.environ.get("STEM", "conv7"),
-        # QUANT=1: int8 PTQ backbone convs (ops/quant.py); QUANT=2 also
-        # quantizes the decoder Residuals; QUANT_STATIC=1 swaps the
-        # dynamic activation scales for calibrated ones — serving
-        # -option A/B knobs, not the parity default.
-        quant_backbone_eval=int(os.environ.get("QUANT", "0")) >= 1,
-        quant_decoder_eval=int(os.environ.get("QUANT", "0")) >= 2,
-        quant_static=os.environ.get("QUANT_STATIC", "0") == "1")
+        quant_backbone_eval=quant >= 1,
+        quant_decoder_eval=quant >= 2,
+        quant_static=quant_static)
     rng = np.random.RandomState(0)
     img = jnp.asarray(rng.randn(BATCH, 256, 256, 3).astype(np.float32))
     # Shape-only init: parameter values are irrelevant for throughput and
@@ -74,7 +89,7 @@ def bench_eval():
         lambda: model.init(jax.random.PRNGKey(0), img[:1], mano_l, mano_r))
     variables = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
-    if os.environ.get("QUANT_STATIC", "0") == "1":
+    if quant_static:
         calib = jax.jit(lambda v, im: model.apply(
             v, im, mano_l, mano_r, train=False,
             mutable=["quant_stats"])[1])
@@ -97,12 +112,12 @@ def bench_eval():
     # per-dispatch overhead).
     unroll = int(os.environ.get("EVAL_UNROLL", "8"))
     if unroll > 1:
-        @jax.jit
-        def fwd(images):  # (unroll, B, H, W, 3)
+        def fwd_(images):  # (unroll, B, H, W, 3)
             return jax.lax.map(one, images)
+        fwd = jax.jit(fwd_, compiler_options=COMPILER_OPTIONS)
         img = jnp.stack([img] * unroll)
     else:
-        fwd = jax.jit(one)
+        fwd = jax.jit(one, compiler_options=COMPILER_OPTIONS)
 
     for _ in range(WARMUP):
         jax.block_until_ready(fwd(img))
@@ -167,7 +182,8 @@ def bench_train():
         lambda: model.init(jax.random.PRNGKey(0), img0, mano_l, mano_r))()
     tx = make_optimizer(TrainConfig(), steps_per_epoch=1000)
     state = create_train_state(variables, tx)
-    step_fn = make_train_step(model, tx, cfg, mano_l, mano_r, unroll=unroll)
+    step_fn = make_train_step(model, tx, cfg, mano_l, mano_r, unroll=unroll,
+                              compiler_options=COMPILER_OPTIONS)
 
     for _ in range(WARMUP):
         state, loss = step_fn(state, batch)
@@ -228,6 +244,11 @@ def _emit_error(msg):
 
 
 def main():
+    # BENCH_PLATFORM=cpu: off-tunnel validation runs — the box's
+    # sitecustomize programmatically overrides JAX_PLATFORMS, so the
+    # env var alone cannot force a backend (CLAUDE.md trap).
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     # Serialize against other TPU clients (the measurement queue, a
     # stray serve daemon): two concurrent tunnel clients block forever.
     lock_path = os.environ.get("BENCH_LOCK", "/tmp/tpu_client.lock")
@@ -265,6 +286,19 @@ def main():
             record["train_img_per_sec"] = round(TRAIN_BATCH / step_s, 1)
     except Exception as e:  # noqa: BLE001 — the artifact must be JSON
         _emit_error(f"{type(e).__name__}: {e}"[:500])
+    # Serving mode: int8 backbone+decoder with calibrated STATIC scales
+    # — the measured-best deployment config (+2.8% over fp at +0.007 mm,
+    # DESIGN.md §8). Best-effort extra key: the fp headline above is
+    # already printed on any failure here. Skipped when the caller runs
+    # an explicit quant A/B (QUANT set) or disables it (BENCH_INT8=0).
+    if (os.environ.get("BENCH_INT8", "1") != "0"
+            and os.environ.get("BENCH_EVAL", "1") != "0"
+            and int(os.environ.get("QUANT", "0")) == 0):
+        try:
+            record["serving_int8_static_img_per_sec"] = round(
+                bench_eval(quant=2, quant_static=True), 2)
+        except Exception as e:  # noqa: BLE001
+            record["serving_int8_static_error"] = f"{type(e).__name__}"[:80]
     print(json.dumps(record))
 
 

@@ -28,7 +28,8 @@ from dir_tpu.train.state import TrainState
 def make_train_step(model, tx, cfg: ModelConfig, mano_left: ManoModel,
                     mano_right: ManoModel, mesh: Mesh | None = None,
                     donate: bool = True, unroll: int = 1,
-                    grad_accum: int = 1) -> Callable:
+                    grad_accum: int = 1,
+                    compiler_options: dict | None = None) -> Callable:
     """Build the jitted train step: (state, batch) -> (state, loss_dict).
 
     batch: {"img": (B, H, W, 3)} plus every target key consumed by
@@ -104,8 +105,14 @@ def make_train_step(model, tx, cfg: ModelConfig, mano_left: ManoModel,
             state, losses = jax.lax.scan(one_step, state, batches)
             return state, jax.tree.map(lambda x: x[-1], losses)
 
+    # compiler_options ride the (possibly remote) compile request and
+    # are parsed by the BACKEND's compiler — the only way to reach
+    # XLA:TPU knobs through the tunneled client, whose local jaxlib
+    # aborts on unknown --xla_tpu_* names in XLA_FLAGS
+    # (tools/xla_flag_sweep.py).
     if mesh is None:
-        return jax.jit(step, donate_argnums=(0,) if donate else ())
+        return jax.jit(step, donate_argnums=(0,) if donate else (),
+                       compiler_options=compiler_options)
 
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh)
@@ -118,6 +125,7 @@ def make_train_step(model, tx, cfg: ModelConfig, mano_left: ManoModel,
         in_shardings=(repl, data),
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate else (),
+        compiler_options=compiler_options,
     )
 
 

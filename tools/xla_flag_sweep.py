@@ -1,18 +1,25 @@
-"""Sweep documented XLA scheduling/fusion flags over the train step
+"""Sweep documented XLA:TPU scheduling/fusion knobs over the train step
 (and optionally eval) — VERDICT r3 #6.
 
 DESIGN.md §7 concluded "compiler-bound" for the train step's two
 residual kernel classes (BN-stat fusions, 1x1 convs) after attacking
 them from JAX source; this sweeps the compiler's OWN knobs before that
 claim is final. Each combo runs ``bench.py`` in a subprocess with
-XLA_FLAGS set (bench.py handles backend wait + client locking), so a
-combo costs one tunnel compile (~10-15 min wall on this box).
+``BENCH_COMPILER_OPTIONS`` set (bench.py handles backend wait + client
+locking), so a combo costs one tunnel compile (~10-15 min wall).
+
+MECHANISM (learned the hard way): options go per-computation via
+``jit(compiler_options=...)``, NOT via the XLA_FLAGS env var — this
+box's local jaxlib has no TPU flag registry and F-aborts on any
+``--xla_tpu_*`` name at backend init ("Unknown flag in XLA_FLAGS"),
+which bench.py's probe then misreads as a dead tunnel. compiler_options
+ride the remote-compile request and are parsed by the terminal-side TPU
+compiler, which DOES know them; a name it rejects raises
+INVALID_ARGUMENT at compile, recorded as ``"rejected": true``.
 
 Results append to ``--out`` (JSON lines) as they land; already-recorded
 combos are skipped on rerun — the sweep is resumable across tunnel
-outages. A combo whose flag the compiler rejects is recorded with
-``"rejected": true`` (that is itself a finding: the flag does not exist
-on this toolchain / does not transit the tunnel).
+outages (delete a line to re-run that combo).
 
     python tools/xla_flag_sweep.py                 # train step, all combos
     python tools/xla_flag_sweep.py --target eval   # eval program
@@ -28,50 +35,57 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Documented XLA:TPU knobs plausibly touching the two §7 kernel classes:
 # scheduling (latency-hiding scheduler), fusion sizing (scoped vmem
-# scratch limit — larger lets bigger fusions materialize), loop-invariant
-# code motion sizing, and async copy aggressiveness. Combos kept small:
-# each costs a full remote compile.
+# scratch limit — larger lets bigger fusions materialize), and
+# loop-invariant code motion sizing. Combos kept small: each costs a
+# full remote compile.
 COMBOS = [
-    ("baseline", ""),
-    ("lhs_on", "--xla_tpu_enable_latency_hiding_scheduler=true"),
-    ("vmem_64m", "--xla_tpu_scoped_vmem_limit_kib=65536"),
-    ("vmem_128m", "--xla_tpu_scoped_vmem_limit_kib=131072"),
-    ("licm_2x", "--xla_tpu_licm_size_inflation_ratio=2.0"),
-    ("lhs_vmem", "--xla_tpu_enable_latency_hiding_scheduler=true "
-                 "--xla_tpu_scoped_vmem_limit_kib=65536"),
+    ("baseline", {}),
+    ("lhs_on", {"xla_tpu_enable_latency_hiding_scheduler": True}),
+    ("vmem_64m", {"xla_tpu_scoped_vmem_limit_kib": 65536}),
+    ("vmem_128m", {"xla_tpu_scoped_vmem_limit_kib": 131072}),
+    ("licm_2x", {"xla_tpu_licm_size_inflation_ratio": 2.0}),
+    ("lhs_vmem", {"xla_tpu_enable_latency_hiding_scheduler": True,
+                  "xla_tpu_scoped_vmem_limit_kib": 65536}),
 ]
 
 
-def run_combo(name, flags, target, timeout):
+def run_combo(name, options, target, timeout):
     env = dict(os.environ)
-    base = env.get("XLA_FLAGS", "")
-    env["XLA_FLAGS"] = (base + " " + flags).strip()
+    if options:
+        env["BENCH_COMPILER_OPTIONS"] = json.dumps(options)
+    else:
+        env.pop("BENCH_COMPILER_OPTIONS", None)
     if target == "train":
         env["BENCH_EVAL"] = "0"
     else:
         env["BENCH_TRAIN"] = "0"
+    env["BENCH_INT8"] = "0"  # sweep measures the fp programs only
     try:
         r = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                            capture_output=True, text=True, env=env,
                            timeout=timeout, cwd=REPO)
     except subprocess.TimeoutExpired:
-        return {"combo": name, "flags": flags, "target": target,
+        return {"combo": name, "options": options, "target": target,
                 "timeout": True}
-    rec = {"combo": name, "flags": flags, "target": target,
+    rec = {"combo": name, "options": options, "target": target,
            "rc": r.returncode}
     line = next((ln for ln in r.stdout.splitlines()
                  if ln.startswith("{")), None)
     if line:
         rec.update(json.loads(line))
-    tail = (r.stderr or "")[-4000:]
-    # Unknown-flag rejection happens at flag parse (client side) or at
-    # remote compile — both surface in stderr.
-    if "Unknown flag" in tail or "unknown flag" in tail or (
-            r.returncode != 0 and "INVALID_ARGUMENT" in tail):
+    # Server-side rejection of an unknown/invalid option surfaces inside
+    # bench.py as a JaxRuntimeError, which lands in the JSON "error"
+    # field (bench catches everything). Measured signature on this
+    # tunnel: "INTERNAL: ...remote_compile: HTTP 500: tpu_compile_helper
+    # subprocess exit code 1" (a local backend would say
+    # INVALID_ARGUMENT). A genuine mid-sweep compiler crash matches too
+    # — the full error is retained for disambiguation.
+    err = rec.get("error", "")
+    if ("INVALID_ARGUMENT" in err or "option" in err.lower()
+            or "remote_compile: HTTP 500" in err):
         rec["rejected"] = True
-        rec["stderr_tail"] = tail[-500:]
-    elif r.returncode != 0:
-        rec["stderr_tail"] = tail[-500:]
+    if r.returncode != 0 and not line:
+        rec["stderr_tail"] = (r.stderr or "")[-500:]
     return rec
 
 

@@ -267,6 +267,13 @@ def main():
     if not wait_for_backend(float(os.environ.get("BENCH_WAIT_SECS", "1800"))):
         _emit_error("TPU backend unavailable after BENCH_WAIT_SECS")
 
+    # Repo-local persistent compile cache (.xla_cache): bench_eval gets
+    # it implicitly by importing __graft_entry__, but train-only runs
+    # (BENCH_EVAL=0, the sweep) would otherwise recompile through the
+    # tunnel every time. Keyed on HLO + compile options (verified:
+    # distinct compiler_options produce distinct entries).
+    import __graft_entry__  # noqa: F401 — enables the cache at import
+
     try:
         # BENCH_EVAL=0 skips the eval half (train-only A/B runs); the
         # driver always runs both (default 1).

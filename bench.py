@@ -76,7 +76,11 @@ def bench_eval(quant=None, quant_static=None):
     if quant_static is None:
         quant_static = os.environ.get("QUANT_STATIC", "0") == "1"
     model, _, mano_l, mano_r = _flagship(
-        dtype="bfloat16", fused_bottleneck_eval=True,
+        dtype="bfloat16",
+        # BENCH_FUSED=0: layer1 falls through the Pallas guard to the
+        # int8 path when QUANT>=1 (guard order: fused, then quant —
+        # models/resnet.py) — the quantize-layer1-too A/B.
+        fused_bottleneck_eval=os.environ.get("BENCH_FUSED", "1") != "0",
         backbone_stem=os.environ.get("STEM", "conv7"),
         quant_backbone_eval=quant >= 1,
         quant_decoder_eval=quant >= 2,

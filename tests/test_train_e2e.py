@@ -556,3 +556,57 @@ def test_grad_accum_unroll_mutually_exclusive(env):
     with pytest.raises(ValueError):
         make_train_step(DIR(mcfg), optax.sgd(1e-3), mcfg, left, right,
                         unroll=2, grad_accum=2)
+
+
+@pytest.mark.slow
+def test_train_step_compiler_options_plumbing(env):
+    """make_train_step(compiler_options=...) reaches the jit: the step
+    compiles, runs, and computes the same loss as the default-compiled
+    step (options change the compile, never the math). This is the
+    mechanism the XLA-knob sweep rides (tools/xla_flag_sweep.py) — the
+    env-var route aborts on TPU flag names in this jaxlib."""
+    import optax
+
+    from dir_tpu.models.dir import DIR
+    from dir_tpu.train.state import create_train_state
+    from dir_tpu.train.steps import make_train_step
+
+    cfg, left, right = env
+    mcfg = ModelConfig(backbone_layers=(1, 1, 1, 1))
+    model = DIR(mcfg)
+    r = np.random.RandomState(3)
+    b, s = 2, 64
+    batch = {
+        "img": r.randn(b, s, s, 3).astype(np.float32),
+        "joint_2d_left": r.randn(b, 21, 3).astype(np.float32),
+        "joint_2d_right": r.randn(b, 21, 3).astype(np.float32),
+        "mesh_2d_left": r.randn(b, 778, 3).astype(np.float32),
+        "mesh_2d_right": r.randn(b, 778, 3).astype(np.float32),
+        "joint_3d_left": r.randn(b, 21, 3).astype(np.float32) * 0.1,
+        "joint_3d_right": r.randn(b, 21, 3).astype(np.float32) * 0.1,
+        "mesh_3d_left": r.randn(b, 778, 3).astype(np.float32) * 0.1,
+        "mesh_3d_right": r.randn(b, 778, 3).astype(np.float32) * 0.1,
+        "center_left": r.randn(b, 1, 3).astype(np.float32) * 0.1,
+        "center_right": r.randn(b, 1, 3).astype(np.float32) * 0.1,
+        "seg": r.randint(0, 3, size=(b, s, s)).astype(np.int32),
+        "dense": r.rand(b, s, s, 3).astype(np.float32),
+    }
+    import jax.numpy as jnp
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    variables = model.init(jax.random.PRNGKey(0), batch["img"], left, right)
+    tx = optax.sgd(1e-3)
+
+    def run(co):
+        state = create_train_state(variables, tx)
+        step = make_train_step(model, tx, mcfg, left, right, donate=False,
+                               compiler_options=co)
+        _, loss = step(state, batch)
+        return float(sum(jax.tree.leaves(loss))[()])
+
+    # a real (CPU-registered) option name; the option may legitimately
+    # change codegen, so the assertion is tight-tolerance, not bitwise
+    plain = run(None)
+    flagged = run({"xla_cpu_enable_fast_math": False})
+    assert np.isfinite(plain)
+    np.testing.assert_allclose(plain, flagged, rtol=1e-5)

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from dir_tpu.ops.pallas_bottleneck import cost_if_static
 from dir_tpu.ops.bone_splat import (PARENT, CHILD,
                                     bone_splat as _bone_splat_jnp)
 
@@ -125,11 +126,10 @@ def bone_splat_pallas(joint_uv: jnp.ndarray, joint_feat: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, size * size, 20 * c),
                                        joint_feat.dtype),
-        cost_estimate=pl.CostEstimate(
+        cost_estimate=cost_if_static(
             flops=b * size * size * 20 * (30 + 2 * c),
             bytes_accessed=b * size * size * 20 * c
             * joint_feat.dtype.itemsize,
-            transcendentals=0,
         ),
     )(ends, fa_flat, fb_flat, sel)
     return out.reshape(b, size, size, 20 * c)

@@ -57,6 +57,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def cost_if_static(flops, bytes_accessed, transcendentals=0):
+    """CostEstimate, or None when any term is a symbolic dimension.
+
+    Under shape-polymorphic jax.export (serve.py exports with a symbolic
+    batch dim ``b``) the batch size is a _DimExpr and
+    pl.CostEstimate requires ints — skip the estimate there; it only
+    tunes the XLA scheduler, never correctness.
+    """
+    if not (isinstance(flops, int) and isinstance(bytes_accessed, int)):
+        return None
+    return pl.CostEstimate(flops=flops, bytes_accessed=bytes_accessed,
+                           transcendentals=transcendentals)
+
+
 def fold_bn(kernel: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
             mean: jnp.ndarray, var: jnp.ndarray, eps: float = 1e-5):
     """Fold an inference BatchNorm into the preceding conv (fp32, exact):
@@ -290,10 +304,9 @@ def fused_bottleneck_infer(x: jnp.ndarray,
         out_specs=pl.BlockSpec((1, h, w, o), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, o), dt),
-        cost_estimate=pl.CostEstimate(
+        cost_estimate=cost_if_static(
             flops=b * flops_333,
             bytes_accessed=b * h * w * (c + o) * x.dtype.itemsize,
-            transcendentals=0,
         ),
         interpret=interpret,
     )(x, w1c, b1.astype(jnp.float32), w2c, b2.astype(jnp.float32),
@@ -351,10 +364,9 @@ def fused_stem_bottleneck(x: jnp.ndarray,
         out_specs=pl.BlockSpec((1, h, w, o), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, o), dt),
-        cost_estimate=pl.CostEstimate(
+        cost_estimate=cost_if_static(
             flops=b * flops,
             bytes_accessed=b * h * w * (4 * c + o) * x.dtype.itemsize,
-            transcendentals=0,
         ),
         interpret=interpret,
     )(xp, g1.astype(jnp.float32), t1.astype(jnp.float32),

@@ -69,6 +69,25 @@ def test_export_symbolic_batch(setup, rng):
             rtol=1e-5, atol=1e-5)
 
 
+def test_export_symbolic_batch_fused(rng):
+    """Symbolic-batch export with the fused Pallas bottleneck enabled.
+
+    Regression: pl.CostEstimate requires int fields, but under a
+    symbolic batch dim the flops term is a _DimExpr — cost_if_static
+    must drop the estimate instead of crashing the export trace
+    (observed live in tools/bench_serve_concurrent.py on TPU)."""
+    cfg = ModelConfig(backbone_layers=(1, 1, 1, 1),
+                      fused_bottleneck_eval=True)
+    mano_r = synthetic_mano("right", seed=0)
+    mano_l = fix_left_shapedirs(synthetic_mano("left", seed=0), mano_r)
+    model = DIR(cfg)
+    img = jnp.zeros((1, 256, 256, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img, mano_l, mano_r)
+    blob = serve.export_infer(model, variables, mano_l, mano_r,
+                              batch_size=None)
+    assert blob.startswith(serve._MAGIC)
+
+
 def test_load_rejects_foreign_blob():
     with pytest.raises(ValueError, match="bad magic"):
         serve.load_infer(b"not an artifact")

@@ -28,9 +28,16 @@ def main():
     from dir_tpu.mano import synthetic_mano, fix_left_shapedirs
     from dir_tpu.models.dir import DIR
 
+    # QUANT / QUANT_STATIC mirror bench.py's serving A/B knobs so the
+    # int8 serving program can be traced too.
+    quant = int(os.environ.get("QUANT", "0"))
+    quant_static = os.environ.get("QUANT_STATIC", "0") == "1"
     cfg = ModelConfig(dtype="bfloat16", backbone_stem=STEM,
                       fused_bottleneck_eval=os.environ.get(
-                          "FUSED_BOTTLENECK", "1") != "0")
+                          "FUSED_BOTTLENECK", "1") != "0",
+                      quant_backbone_eval=quant >= 1,
+                      quant_decoder_eval=quant >= 2,
+                      quant_static=quant_static)
     mano_r = synthetic_mano("right", seed=0)
     mano_l = fix_left_shapedirs(synthetic_mano("left", seed=0), mano_r)
     model = DIR(cfg)
@@ -40,6 +47,13 @@ def main():
     shapes = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0), img[:1], mano_l, mano_r))
     variables = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+    if quant_static:
+        from dir_tpu.ops.quant import merge_calibration
+        calib = jax.jit(lambda v, im: model.apply(
+            v, im, mano_l, mano_r, train=False,
+            mutable=["quant_stats"])[1])
+        variables = merge_calibration(variables, calib(variables, img))
 
     @jax.jit
     def fwd(image):
@@ -56,7 +70,7 @@ def main():
     jax.block_until_ready(out)
     jax.profiler.stop_trace()
 
-    print(f"batch={BATCH} stem={STEM}")
+    print(f"batch={BATCH} stem={STEM} quant={quant} static={quant_static}")
     report(TRACE_DIR, STEPS)
 
 

@@ -66,7 +66,8 @@ def main():
                          "no per-conv reductions at serving time")
     ap.add_argument("--resume_every", type=int, default=200,
                     help="dump the metric accumulators to "
-                         "<out>/eval_resume.npz every N batches and "
+                         "<out>/eval_resume.<cfg-hash>.npz every N "
+                         "batches and "
                          "auto-resume from it on restart (0 disables). "
                          "Makes the full-test-set parity run through "
                          "the flaky tunnel survivable: a multi-hour "
@@ -194,15 +195,11 @@ def main():
         # serving then reads the stored scales with no per-conv
         # reductions. More batches would only tighten the tails —
         # maxes accumulate monotonically if this loop is extended.
-        from dir_tpu.ops.quant import merge_calibration
-        calib = jax.jit(lambda v, img: model.apply(
-            v, img, mano_l, mano_r, train=False,
-            mutable=["quant_stats"])[1])
+        from dir_tpu.ops.quant import calibrate_static_scales
         # synchronous single batch: no prefetch thread, no epoch advance
         first = loader.peek_batch()
-        variables = merge_calibration(
-            variables, jax.device_get(calib(variables,
-                                            jnp.asarray(first["img"]))))
+        variables = calibrate_static_scales(
+            model, variables, jnp.asarray(first["img"]), mano_l, mano_r)
         logger.info("calibrated static int8 scales on one batch of %d",
                     first["img"].shape[0])
 
@@ -239,15 +236,25 @@ def main():
     # The error dumps are per-sample and order-preserving, so the whole
     # eval state is (accumulated arrays, batches consumed). The config
     # fingerprint guards against resuming a different run's file.
+    import hashlib as _hashlib
     import json as _json
-    resume_path = os.path.join(opt.out, "eval_resume.npz")
+    # every flag that changes per-sample OUTPUTS must be in here —
+    # resuming across a mismatch silently mixes accumulators from two
+    # different model configurations
     config_fp = _json.dumps({
         "model": opt.model, "data_path": opt.data_path, "bs": opt.bs,
         "root_joint": opt.root_joint, "scale": opt.scale,
         "stage": opt.stage, "dtype": opt.dtype,
         "backbone_layers": opt.backbone_layers, "stem": opt.stem,
         "quant": [opt.quant_backbone, opt.quant_decoder, opt.quant_static],
+        "mano": [opt.mano_path, opt.synthetic_mano],
+        "fused_bottleneck": opt.fused_bottleneck,
     }, sort_keys=True)
+    # the file name carries the fingerprint: two different configs
+    # sharing --out each keep their own checkpoint — neither overwrites
+    # (mid-run saves) nor deletes (completion) the other's progress
+    fp_hash = _hashlib.sha1(config_fp.encode()).hexdigest()[:8]
+    resume_path = os.path.join(opt.out, f"eval_resume.{fp_hash}.npz")
     start_batch = 0
     if opt.resume_every and os.path.exists(resume_path):
         saved = np.load(resume_path, allow_pickle=False)
@@ -270,9 +277,17 @@ def main():
         np.savez(tmp, _batches_done=batches_done, _config=config_fp, **arrs)
         os.replace(tmp, resume_path)  # atomic swap
 
+    # interval tracked against the last save, not modulo: the unroll
+    # path advances `consumed` by opt.unroll per flush, so a modulo test
+    # fires only at multiples of lcm(unroll, resume_every) — possibly
+    # never within the test set
+    last_saved = start_batch
+
     def maybe_save(batches_done: int) -> None:
-        if opt.resume_every and batches_done % opt.resume_every == 0:
+        nonlocal last_saved
+        if opt.resume_every and batches_done - last_saved >= opt.resume_every:
             save_resume(batches_done)
+            last_saved = batches_done
             logger.info("checkpointed eval accumulators at batch %d",
                         batches_done)
 
@@ -338,6 +353,7 @@ def main():
     d = {k: np.concatenate(v, axis=0) for k, v in dump.items()}
     if opt.resume_every and os.path.exists(resume_path):
         os.remove(resume_path)  # complete: drop the partial state
+        # (ours by construction — the path carries the config hash)
     np.savetxt(f"{opt.out}/left_joint.txt",
                d["joints_xyz_left"].reshape(-1, 63) * 1000, fmt="%.3f")
     np.savetxt(f"{opt.out}/right_joint.txt",

@@ -119,7 +119,7 @@ def main():
                      "batch_stats": restored.batch_stats}
 
     if opt.quant_static:
-        from dir_tpu.ops.quant import merge_calibration
+        from dir_tpu.ops.quant import calibrate_static_scales
         if opt.calib_npy:
             imgs = np.load(opt.calib_npy).astype(np.float32)
         else:
@@ -128,11 +128,9 @@ def main():
                            "tests, wrong for production artifacts")
             imgs = np.random.RandomState(0).randn(
                 2, 256, 256, 3).astype(np.float32)
-        calib = jax.jit(lambda v, im: model.apply(
-            v, im, mano_l, mano_r, train=False,
-            mutable=["quant_stats"])[1])
-        variables = merge_calibration(variables,
-                                      calib(variables, jnp.asarray(imgs)))
+        variables = calibrate_static_scales(model, variables,
+                                            jnp.asarray(imgs),
+                                            mano_l, mano_r)
         logger.info("calibrated static int8 scales on %d images",
                     imgs.shape[0])
 

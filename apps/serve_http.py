@@ -104,16 +104,27 @@ class MicroBatcher:
         self.window_s = window_ms / 1e3
         self.buckets = tuple(sorted(b for b in buckets if b > 0))
         self.q = queue.SimpleQueue()
+        # _stop_lock orders submit() against stop(): the stopped flag is
+        # set under the same lock that guards q.put, so no request can
+        # land behind the shutdown sentinel (whose slot event would
+        # never be set — a permanently hung handler thread).
+        self._stop_lock = threading.Lock()
+        self._stopped = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     def stop(self):
-        self.q.put(None)
+        with self._stop_lock:
+            self._stopped = True
+            self.q.put(None)
         self._thread.join(timeout=10)
 
     def submit(self, img: np.ndarray) -> dict:
         slot = {"event": threading.Event(), "out": None, "err": None}
-        self.q.put((img, slot))
+        with self._stop_lock:
+            if self._stopped:
+                raise RuntimeError("MicroBatcher is stopped")
+            self.q.put((img, slot))
         slot["event"].wait()
         if slot["err"] is not None:
             raise slot["err"]
@@ -144,29 +155,50 @@ class MicroBatcher:
             total += nxt[0].shape[0]
         return group
 
+    def _dispatch_single(self, img: np.ndarray) -> dict:
+        with self.lock:
+            out = self.infer(img)
+            resp = {k: np.asarray(v) for k, v in
+                    _final_outputs(out, self.full).items()}
+            self.stats["dispatches"] += 1
+            self.stats["images"] += int(img.shape[0])
+        return resp
+
     def _loop(self):
         while True:
             group = self._collect()
             if group is None:
                 return
-            batch = (np.concatenate([g[0] for g in group])
-                     if len(group) > 1 else group[0][0])
-            n_real = batch.shape[0]
-            pad_to = next((b for b in self.buckets if b >= n_real), n_real)
-            if pad_to > n_real:
-                batch = np.concatenate(
-                    [batch, np.zeros((pad_to - n_real,) + batch.shape[1:],
-                                     batch.dtype)])
+            # The whole coalesce+dispatch runs under try: the handler
+            # validates only (B, H, W, 3), so mixed-resolution groups
+            # fail at np.concatenate — an uncaught exception here kills
+            # the batcher thread and hangs every future request.
             try:
+                batch = (np.concatenate([g[0] for g in group])
+                         if len(group) > 1 else group[0][0])
+                n_real = batch.shape[0]
+                pad_to = next((b for b in self.buckets if b >= n_real),
+                              n_real)
+                if pad_to > n_real:
+                    batch = np.concatenate(
+                        [batch,
+                         np.zeros((pad_to - n_real,) + batch.shape[1:],
+                                  batch.dtype)])
                 with self.lock:
                     out = self.infer(batch)
                     resp = {k: np.asarray(v) for k, v in
                             _final_outputs(out, self.full).items()}
                     self.stats["dispatches"] += 1
                     self.stats["images"] += n_real
-            except Exception as e:  # noqa: BLE001 — propagate per-request
-                for _, slot in group:
-                    slot["err"] = e
+            except Exception:  # noqa: BLE001 — isolate the bad request
+                # Group dispatch failed (shape mismatch, device error):
+                # retry each request alone so one malformed request
+                # doesn't poison its neighbors — only IT gets the 400.
+                for img, slot in group:
+                    try:
+                        slot["out"] = self._dispatch_single(img)
+                    except Exception as e:  # noqa: BLE001 — per-request
+                        slot["err"] = e
                     slot["event"].set()
                 continue
             ofs = 0

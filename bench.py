@@ -63,7 +63,7 @@ WARMUP = 3
 ITERS = 10
 
 
-def bench_eval(quant=None, quant_static=None):
+def bench_eval(quant=None, quant_static=None, fused=None):
     from __graft_entry__ import _flagship
 
     # QUANT=1: int8 PTQ backbone convs (ops/quant.py); QUANT=2 also
@@ -75,12 +75,18 @@ def bench_eval(quant=None, quant_static=None):
         quant = int(os.environ.get("QUANT", "0"))
     if quant_static is None:
         quant_static = os.environ.get("QUANT_STATIC", "0") == "1"
-    model, _, mano_l, mano_r = _flagship(
-        dtype="bfloat16",
+    if fused is None:
         # BENCH_FUSED=0: layer1 falls through the Pallas guard to the
         # int8 path when QUANT>=1 (guard order: fused, then quant —
-        # models/resnet.py) — the quantize-layer1-too A/B.
-        fused_bottleneck_eval=os.environ.get("BENCH_FUSED", "1") != "0",
+        # models/resnet.py) — the quantize-layer1-too A/B. Measured
+        # A/B (2026-08-19, one v5e chip): int8-static layer1 BEATS the
+        # bf16 fused-Pallas layer1 7,238 vs 6,350 img/s, so the
+        # serving key below passes fused=False explicitly; the fp
+        # headline keeps the fused kernel (it wins there, DESIGN §7).
+        fused = os.environ.get("BENCH_FUSED", "1") != "0"
+    model, _, mano_l, mano_r = _flagship(
+        dtype="bfloat16",
+        fused_bottleneck_eval=fused,
         backbone_stem=os.environ.get("STEM", "conv7"),
         quant_backbone_eval=quant >= 1,
         quant_decoder_eval=quant >= 2,
@@ -94,11 +100,9 @@ def bench_eval(quant=None, quant_static=None):
     variables = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
     if quant_static:
-        calib = jax.jit(lambda v, im: model.apply(
-            v, im, mano_l, mano_r, train=False,
-            mutable=["quant_stats"])[1])
-        from dir_tpu.ops.quant import merge_calibration
-        variables = merge_calibration(variables, calib(variables, img))
+        from dir_tpu.ops.quant import calibrate_static_scales
+        variables = calibrate_static_scales(model, variables, img,
+                                            mano_l, mano_r)
 
     def one(image):
         out = model.apply(variables, image, mano_l, mano_r, train=False)
@@ -210,7 +214,14 @@ def probe_backend(timeout_s):
     ``false``/``true``)."""
     cmd = os.environ.get("BENCH_PROBE_CMD")
     if cmd is None:
-        code = ("import jax, jax.numpy as jnp; "
+        # BENCH_PLATFORM must reach the probe too: the box's
+        # sitecustomize force-selects the tunneled TPU regardless of
+        # env vars, so a BENCH_PLATFORM=cpu run would otherwise gate
+        # its (tunnel-free) measurement on tunnel health.
+        plat = os.environ.get("BENCH_PLATFORM")
+        force = (f"jax.config.update('jax_platforms', {plat!r}); "
+                 if plat else "")
+        code = ("import jax, jax.numpy as jnp; " + force +
                 "print(float(jnp.ones((8, 8)).sum()))")
         argv = [sys.executable, "-c", code]
     else:
@@ -298,16 +309,17 @@ def main():
     except Exception as e:  # noqa: BLE001 — the artifact must be JSON
         _emit_error(f"{type(e).__name__}: {e}"[:500])
     # Serving mode: int8 backbone+decoder with calibrated STATIC scales
-    # — the measured-best deployment config (+2.8% over fp at +0.007 mm,
-    # DESIGN.md §8). Best-effort extra key: the fp headline above is
-    # already printed on any failure here. Skipped when the caller runs
-    # an explicit quant A/B (QUANT set) or disables it (BENCH_INT8=0).
+    # and layer1 on the int8 path too (fused=False — the bf16 Pallas
+    # layer1 loses to int8 there: 6,350 vs 7,238 img/s, DESIGN.md §8).
+    # Best-effort extra key: the fp headline above is already printed
+    # on any failure here. Skipped when the caller runs an explicit
+    # quant A/B (QUANT set) or disables it (BENCH_INT8=0).
     if (os.environ.get("BENCH_INT8", "1") != "0"
             and os.environ.get("BENCH_EVAL", "1") != "0"
             and int(os.environ.get("QUANT", "0")) == 0):
         try:
             record["serving_int8_static_img_per_sec"] = round(
-                bench_eval(quant=2, quant_static=True), 2)
+                bench_eval(quant=2, quant_static=True, fused=False), 2)
         except Exception as e:  # noqa: BLE001
             record["serving_int8_static_error"] = f"{type(e).__name__}"[:80]
     print(json.dumps(record))

@@ -116,6 +116,23 @@ def merge_calibration(variables: dict, updates: dict) -> dict:
     return {**variables, "quant_stats": updates["quant_stats"]}
 
 
+def calibrate_static_scales(model, variables: dict, img, mano_l,
+                            mano_r) -> dict:
+    """One calibration pass: run the model with the "quant_stats"
+    collection mutable so every ``module_act_scale`` records its
+    activation amax, and fold the result back into ``variables`` for
+    static-scale serving. The shared helper behind bench.py,
+    apps/eval.py --quant_static, and tools/profile_eval.py — amaxes
+    accumulate monotonically, so calling it again on further batches
+    only tightens the tails."""
+    import jax as _jax
+
+    calib = _jax.jit(lambda v, im: model.apply(
+        v, im, mano_l, mano_r, train=False, mutable=["quant_stats"])[1])
+    return merge_calibration(
+        variables, _jax.device_get(calib(variables, img)))
+
+
 def conv_int8(x_q: jnp.ndarray, w_q: jnp.ndarray,
               x_scale: jnp.ndarray, w_scale: jnp.ndarray,
               stride: Tuple[int, int] = (1, 1),

@@ -223,8 +223,10 @@ def test_eval_resume_matches_uninterrupted(tmp_path, monkeypatch, capsys):
     with pytest.raises(RuntimeError, match="simulated tunnel outage"):
         run(out_dir)
     capsys.readouterr()
-    resume_file = os.path.join(out_dir, "eval_resume.npz")
-    assert os.path.exists(resume_file)
+    import glob
+    resume_files = glob.glob(os.path.join(out_dir, "eval_resume.*.npz"))
+    assert len(resume_files) == 1  # name carries the config hash
+    resume_file = resume_files[0]
     assert int(np.load(resume_file)["_batches_done"]) == 2
 
     # --- resumed run: completes and matches ---
@@ -236,3 +238,56 @@ def test_eval_resume_matches_uninterrupted(tmp_path, monkeypatch, capsys):
         a = np.loadtxt(os.path.join(out_dir, f))
         b = np.loadtxt(os.path.join(str(tmp_path / "full"), f))
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
+def test_eval_resume_interval_with_unroll(tmp_path, monkeypatch, capsys):
+    """--unroll advances the consumed counter by N per flush; the save
+    trigger must be interval-based (batches since last save >= K), not
+    `consumed % K == 0` — the modulo form fires only at multiples of
+    lcm(unroll, K), possibly never within the test set."""
+    import glob
+
+    from dir_tpu.data import synthetic
+    from dir_tpu.data.loader import BatchLoader
+    from dir_tpu.mano import fix_left_shapedirs, synthetic_mano
+
+    right = synthetic_mano("right", seed=0)
+    left = fix_left_shapedirs(synthetic_mano("left", seed=0), right)
+    data_dir = str(tmp_path / "data")
+    synthetic.generate(data_dir, left, right, split="test",
+                       num_samples=12)
+    app = _load_app("eval")
+    out_dir = str(tmp_path / "out")
+
+    def run():
+        # 6 batches of bs 2; unroll 2 -> consumed = 2, 4, 6;
+        # resume_every 3 never divides any of them
+        monkeypatch.setattr(sys, "argv", [
+            "eval", "--model", "random", "--data_path", data_dir,
+            "--out", out_dir, "--bs", "2", "--backbone_layers", "1,1,1,1",
+            "--synthetic_mano", "--unroll", "2", "--resume_every", "3"])
+        app.main()
+        capsys.readouterr()
+
+    real_iter_from = BatchLoader.iter_from
+
+    def dying_iter_from(self, start):
+        for i, b in enumerate(real_iter_from(self, start)):
+            if start + i >= 5:
+                raise RuntimeError("simulated tunnel outage")
+            yield b
+
+    monkeypatch.setattr(BatchLoader, "iter_from", dying_iter_from)
+    with pytest.raises(RuntimeError, match="simulated tunnel outage"):
+        run()
+    capsys.readouterr()
+    # two flushes completed (consumed = 4 >= 3): a checkpoint MUST exist
+    files = glob.glob(os.path.join(out_dir, "eval_resume.*.npz"))
+    assert len(files) == 1, "interval save never fired under --unroll"
+    assert int(np.load(files[0])["_batches_done"]) == 4
+
+    # resumed run completes and cleans up
+    monkeypatch.setattr(BatchLoader, "iter_from", real_iter_from)
+    run()
+    assert not glob.glob(os.path.join(out_dir, "eval_resume.*.npz"))

@@ -76,3 +76,17 @@ def test_outage_then_recovery_retries(tmp_path):
     assert r.returncode == 0, r.stdout + r.stderr[-2000:]
     rec = _last_json_line(r.stdout)
     assert "error" not in rec
+
+
+def test_bench_platform_cpu_is_tunnel_free(tmp_path):
+    """BENCH_PLATFORM=cpu (off-tunnel validation) must not gate on the
+    tunneled TPU: the probe subprocess forces the same platform, so the
+    run succeeds with zero wait even when the tunnel is down or busy
+    (BENCH_WAIT_SECS=0 allows exactly one probe attempt)."""
+    r = _run({"BENCH_PLATFORM": "cpu", "BENCH_EVAL": "0",
+              "BENCH_TRAIN": "0", "BENCH_INT8": "0",
+              "BENCH_WAIT_SECS": "0",
+              "BENCH_LOCK": str(tmp_path / "lock")}, timeout=300)
+    assert r.returncode == 0, r.stdout + r.stderr
+    rec = _last_json_line(r.stdout)
+    assert "error" not in rec

@@ -49,11 +49,9 @@ def main():
     variables = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
     if quant_static:
-        from dir_tpu.ops.quant import merge_calibration
-        calib = jax.jit(lambda v, im: model.apply(
-            v, im, mano_l, mano_r, train=False,
-            mutable=["quant_stats"])[1])
-        variables = merge_calibration(variables, calib(variables, img))
+        from dir_tpu.ops.quant import calibrate_static_scales
+        variables = calibrate_static_scales(model, variables, img,
+                                            mano_l, mano_r)
 
     @jax.jit
     def fwd(image):

@@ -13,11 +13,14 @@ cd "$(dirname "$0")/.."
 LOCK=/tmp/tpu_client.lock
 
 wait_up() {  # poll a trivial device op until the tunnel answers
+  # The probe itself takes the client lock: an unlocked probe next to a
+  # lock-holding bench is a SECOND concurrent tunnel client (forbidden —
+  # CLAUDE.md; it hangs to its timeout and misreads "busy" as "down").
   while true; do
-    if timeout 120 python -c \
+    if flock -w 600 "$LOCK" timeout 120 python -c \
         "import jax, jax.numpy as jnp; jnp.ones((8,8)).sum().block_until_ready()" \
         >/dev/null 2>&1; then return 0; fi
-    echo "$(date -u +%H:%M:%S) tunnel down, waiting" ; sleep 60
+    echo "$(date -u +%H:%M:%S) tunnel down or busy, waiting" ; sleep 60
   done
 }
 

@@ -313,6 +313,147 @@ def fused_bottleneck_infer(x: jnp.ndarray,
       w3c, b3.astype(jnp.float32), wdc, bd.astype(jnp.float32))
 
 
+def _quant_kernel(inv_ref, x_ref, w1_ref, m1_ref, b1_ref, w2_ref, m2_ref,
+                  b2_ref, w3_ref, m3_ref, b3_ref, wd_ref, md_ref, bd_ref,
+                  out_ref, *, h: int, w: int, mid: int, has_down: bool,
+                  n_bands: int):
+    """Whole-bottleneck INT8 inference: quantize -> s8 matmul -> dequant
+    -> relu -> requantize, three convs + residual, per sample in VMEM.
+
+    Mirrors the XLA int8 path (models/resnet.py _quant_infer +
+    ops/quant.py conv_int8) op-for-op so the int8 grids are identical:
+    activations quantize from the bf16 intermediates with the SAME
+    static scales, accumulate s32 (exact), dequantize with
+    act_scale*w_scale[o] in fp32, bias post-dequant, cast to the trunk
+    dtype between convs. The win over XLA is pure HBM traffic: the
+    bf16 + int8 copies of both intermediates never leave VMEM.
+
+    inv_ref: (3,) fp32 = 1/act_scale for conv1/conv2/conv3 inputs
+    (SMEM). m*_ref: fp32 dequant vectors act_scale * w_scale[o].
+    conv2's int8 windows are zero-padded — exact: quantize(0) == 0 on
+    a symmetric grid, identical to XLA padding the quantized operand.
+    """
+    f32 = jnp.float32
+    x = x_ref[0]                                   # (H, W, C) bf16
+    c = x.shape[-1]
+    hw = h * w
+    xf = x.reshape(hw, c)
+    inv_in, inv1, inv2 = inv_ref[0], inv_ref[1], inv_ref[2]
+
+    def quant(v, inv_s):
+        return jnp.clip(jnp.round(v.astype(f32) * inv_s),
+                        -127, 127).astype(jnp.int8)
+
+    xq = quant(xf, inv_in)
+    a1 = jnp.dot(xq, w1_ref[...], preferred_element_type=jnp.int32)
+    y1 = jnp.maximum((a1.astype(f32) * m1_ref[...]
+                      + b1_ref[...]).astype(x.dtype), 0)
+    y1p = jnp.pad(quant(y1, inv1).reshape(h, w, mid),
+                  ((1, 1), (1, 1), (0, 0)))
+
+    bh = h // n_bands
+    for j in range(n_bands):
+        seg = y1p[bh * j:bh * j + bh + 2]          # (bh+2, W+2, mid) s8
+        cols = [seg[dy:dy + bh, dx:dx + w].reshape(bh * w, mid)
+                for dy in range(3) for dx in range(3)]
+        ycat = jnp.concatenate(cols, axis=-1)      # (bh*W, 9*mid) s8
+        a2 = jnp.dot(ycat, w2_ref[...], preferred_element_type=jnp.int32)
+        y2 = jnp.maximum((a2.astype(f32) * m2_ref[...]
+                          + b2_ref[...]).astype(x.dtype), 0)
+        a3 = jnp.dot(quant(y2, inv2), w3_ref[...],
+                     preferred_element_type=jnp.int32)
+        y3 = (a3.astype(f32) * m3_ref[...] + b3_ref[...]).astype(x.dtype)
+        if has_down:
+            xqb = xq[bh * w * j:bh * w * (j + 1)]
+            res = (jnp.dot(xqb, wd_ref[...],
+                           preferred_element_type=jnp.int32).astype(f32)
+                   * md_ref[...] + bd_ref[...]).astype(x.dtype)
+        else:
+            res = xf[bh * w * j:bh * w * (j + 1)]
+        band = jnp.maximum(y3 + res, 0.0)
+        out_ref[0, bh * j:bh * (j + 1)] = band.astype(
+            out_ref.dtype).reshape(bh, w, -1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "bands"))
+def fused_bottleneck_int8_infer(x: jnp.ndarray,
+                                w1: jnp.ndarray, b1: jnp.ndarray,
+                                w2: jnp.ndarray, b2: jnp.ndarray,
+                                w3: jnp.ndarray, b3: jnp.ndarray,
+                                s_in: jnp.ndarray, s_mid1: jnp.ndarray,
+                                s_mid2: jnp.ndarray,
+                                wd: jnp.ndarray | None = None,
+                                bd: jnp.ndarray | None = None,
+                                interpret: bool = False,
+                                bands: int = 1) -> jnp.ndarray:
+    """One fused stride-1 bottleneck block, INT8 static-scale inference.
+
+    Same contract as ``fused_bottleneck_infer`` plus the three
+    calibrated activation scales (scalars from the "quant_stats"
+    collection: conv1_in — also the downsample input — conv2_in,
+    conv3_in). Weights arrive BN-FOLDED in fp32 ((C,M)/(3,3,M,M)/(M,O))
+    and are quantized per output channel here (trace-time algebra,
+    ops/quant.py:quantize_weight_per_channel). STATIC scales only: the
+    dynamic mode's whole-batch |max| is a cross-sample reduction this
+    per-sample grid cannot see, so dynamic stays on the XLA path.
+    """
+    from dir_tpu.ops.quant import quantize_weight_per_channel
+
+    b, h, w, c = x.shape
+    mid = w1.shape[-1]
+    o = w3.shape[-1]
+    has_down = wd is not None
+    if not has_down:
+        wd = jnp.zeros((c, o), jnp.float32)
+        bd = jnp.zeros((o,), jnp.float32)
+    dt = x.dtype
+    f32 = jnp.float32
+
+    w1q, sw1 = quantize_weight_per_channel(w1)
+    w2q, sw2 = quantize_weight_per_channel(w2.reshape(9 * mid, mid))
+    w3q, sw3 = quantize_weight_per_channel(w3)
+    wdq, swd = quantize_weight_per_channel(wd)
+
+    s_in = s_in.astype(f32)
+    s_mid1 = s_mid1.astype(f32)
+    s_mid2 = s_mid2.astype(f32)
+    inv = jnp.stack([1.0 / s_in, 1.0 / s_mid1, 1.0 / s_mid2])
+    m1 = s_in * sw1
+    m2 = s_mid1 * sw2
+    m3 = s_mid2 * sw3
+    md = s_in * swd
+
+    assert h % bands == 0, (h, bands)
+    kernel = functools.partial(_quant_kernel, h=h, w=w, mid=mid,
+                               has_down=has_down, n_bands=bands)
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    flops_333 = 2 * h * w * (c * mid + 9 * mid * mid + mid * o
+                             + (c * o if has_down else 0))
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            wspec, wspec, wspec, wspec, wspec, wspec, wspec, wspec,
+            wspec, wspec, wspec, wspec,
+        ],
+        out_specs=pl.BlockSpec((1, h, w, o), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, o), dt),
+        cost_estimate=cost_if_static(
+            # int8 MACs counted as 2 flops (the scheduler only needs
+            # relative weight); HBM = bf16 input + output only
+            flops=b * flops_333,
+            bytes_accessed=b * h * w * (c + o) * x.dtype.itemsize,
+        ),
+        interpret=interpret,
+    )(inv, x, w1q, m1, b1.astype(f32), w2q, m2, b2.astype(f32),
+      w3q, m3, b3.astype(f32), wdq, md, bd.astype(f32))
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_stem_bottleneck(x: jnp.ndarray,
                           g1: jnp.ndarray, t1: jnp.ndarray,

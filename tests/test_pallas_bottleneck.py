@@ -224,3 +224,52 @@ def test_backbone_fused_layer2_banded_guard(monkeypatch):
     assert calls == [4], "banded fused kernel did not engage"
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("down,bands", [(False, 1), (True, 1), (False, 2)])
+def test_fused_bottleneck_int8_matches_xla_quant(down, bands):
+    """fused_bottleneck_int8_infer == the XLA int8 static path
+    (Bottleneck quant_eval + quant_static with a calibrated
+    "quant_stats" collection), interpret mode. The int8 grids are
+    identical by construction (same fold, same per-channel weight
+    quantization, same static activation scales), so the fp32 outputs
+    agree to accumulation-order noise."""
+    from dir_tpu.ops.pallas_bottleneck import fused_bottleneck_int8_infer
+    from dir_tpu.ops.quant import scale_from_amax
+
+    rng = np.random.RandomState(11)
+    c, mid = 32, 8
+    block = Bottleneck(mid, stride=1, downsample=down, expansion=c // mid,
+                       quant_eval=True, quant_static=True)
+    x = jnp.asarray(rng.randn(2, 8, 8, c).astype(np.float32))
+    variables = block.init(jax.random.PRNGKey(0), x)
+    variables = _rand_variables(rng, variables)
+
+    # calibration pass fills the quant_stats amaxes on this input
+    _, updates = block.apply(variables, x, train=False,
+                             mutable=["quant_stats"])
+    variables = {**variables, "quant_stats": updates["quant_stats"]}
+    ref = block.apply(variables, x, train=False)
+
+    (w1, b1), (w2, b2), (w3, b3) = _fold_from_variables(variables)
+    w1 = w1[0, 0]
+    w3 = w3[0, 0]
+    if down:
+        wd, bd = fold_bn(variables["params"]["down_conv"]["kernel"],
+                         variables["params"]["down_bn"]["scale"],
+                         variables["params"]["down_bn"]["bias"],
+                         variables["batch_stats"]["down_bn"]["mean"],
+                         variables["batch_stats"]["down_bn"]["var"])
+        wd = wd[0, 0]
+    else:
+        wd = bd = None
+    qs = variables["quant_stats"]
+    out = fused_bottleneck_int8_infer(
+        x, w1, b1, w2, b2, w3, b3,
+        scale_from_amax(qs["conv1_in"]),
+        scale_from_amax(qs["conv2_in"]),
+        scale_from_amax(qs["conv3_in"]),
+        wd, bd, interpret=True, bands=bands)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

@@ -40,6 +40,16 @@ _CONV1X1_SPLITK = int(_os.environ.get("CONV1X1_SPLITK", "0"))
 # 0 = layer2 stays on XLA; flag retained for future Mosaic/XLA.
 _FUSED_L2_BANDS = int(_os.environ.get("FUSED_L2_BANDS", "0"))
 
+# Fused INT8 Pallas bottleneck (ops/pallas_bottleneck.py
+# _quant_kernel) for the static-scale serving path: whole block in
+# VMEM, int8 matmuls, no per-conv HBM round-trips. Isolation bench
+# (tools/bench_int8_block.py, b256): 3.08 vs 6.29 ms/block XLA-int8 at
+# the layer1 shape. 1 = engage at spatial>=4096 (layer1 identity
+# blocks); 0 = pure XLA int8. In-model A/B pending — see DESIGN.md §8.
+_QUANT_FUSED = int(_os.environ.get("QUANT_FUSED", "0"))
+# Row bands for the int8 kernel at the layer2 shape (0 = layer2 XLA).
+_QUANT_FUSED_L2 = int(_os.environ.get("QUANT_FUSED_L2", "0"))
+
 
 class Bottleneck(nn.Module):
     planes: int
@@ -161,7 +171,10 @@ class Bottleneck(nn.Module):
         conv (exact), the folded kernels are quantized per output
         channel, activations per-tensor dynamically. Residual add +
         relu stay in the trunk dtype."""
-        from dir_tpu.ops.pallas_bottleneck import fold_bn
+        import jax
+
+        from dir_tpu.ops.pallas_bottleneck import (
+            fold_bn, fused_bottleneck_int8_infer)
         from dir_tpu.ops.quant import module_act_scale, quant_conv
 
         p = lambda n: self.get_variable("params", n)  # noqa: E731
@@ -178,6 +191,30 @@ class Bottleneck(nn.Module):
         w1, b1 = fold("conv1", "bn1")
         w2, b2 = fold("conv2", "bn2")
         w3, b3 = fold("conv3", "bn3")
+
+        # Fused int8 Pallas path (QUANT_FUSED): static scales only (the
+        # dynamic mode's whole-batch |max| is a cross-sample reduction
+        # the per-sample grid cannot see), never while calibrating (the
+        # XLA path records the amaxes), stride-1, and >=128 input
+        # channels (the same half-lane Mosaic boundary as the bf16
+        # kernel). layer1 at spatial>=4096; layer2 via QUANT_FUSED_L2
+        # bands.
+        spatial = x.shape[1] * x.shape[2]
+        if (_QUANT_FUSED and self.quant_static and self.stride == 1
+                and x.shape[-1] >= 128
+                and not self.is_mutable_collection("quant_stats")
+                and (spatial >= 4096
+                     or (spatial >= 1024 and _QUANT_FUSED_L2))):
+            wd = bd = None
+            if self.downsample:
+                wd, bd = fold("down_conv", "down_bn")
+                wd = wd[0, 0]
+            return fused_bottleneck_int8_infer(
+                x.astype(self.dtype), w1[0, 0], b1, w2, b2, w3[0, 0], b3,
+                scale("conv1_in", x), scale("conv2_in", x),
+                scale("conv3_in", x), wd, bd,
+                interpret=jax.default_backend() != "tpu",
+                bands=1 if spatial >= 4096 else _QUANT_FUSED_L2)
 
         out = nn.relu(quant_conv(x, w1, bias=b1, out_dtype=self.dtype,
                                  act_scale=scale("conv1_in", x)))

@@ -273,3 +273,44 @@ def test_fused_bottleneck_int8_matches_xla_quant(down, bands):
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_backbone_quant_fused_guard(monkeypatch):
+    """With QUANT_FUSED set, the static-int8 Bottleneck engages the
+    fused int8 Pallas kernel at the layer1 shape (spatial 4096, >=128
+    ch) and matches the XLA int8 path; calibration and dynamic mode
+    stay XLA; default stays XLA."""
+    from dir_tpu.models import resnet as rn
+    from dir_tpu.ops import pallas_bottleneck as pb
+
+    calls = []
+    real = pb.fused_bottleneck_int8_infer
+    monkeypatch.setattr(
+        pb, "fused_bottleneck_int8_infer",
+        lambda *a, **k: calls.append(k.get("bands")) or real(*a, **k))
+
+    rng = np.random.RandomState(13)
+    c, mid = 128, 32
+    block = rn.Bottleneck(mid, stride=1, downsample=False,
+                          expansion=c // mid, quant_eval=True,
+                          quant_static=True)
+    x = jnp.asarray(rng.randn(1, 64, 64, c).astype(np.float32))
+    variables = block.init(jax.random.PRNGKey(0), x)
+    variables = _rand_variables(rng, variables)
+
+    monkeypatch.setattr(rn, "_QUANT_FUSED", 1)
+    # calibration must stay on the XLA path (it records the amaxes)
+    _, upd = block.apply(variables, x, train=False,
+                         mutable=["quant_stats"])
+    assert calls == [], "fused int8 kernel must not run while calibrating"
+    variables = {**variables, "quant_stats": upd["quant_stats"]}
+
+    monkeypatch.setattr(rn, "_QUANT_FUSED", 0)
+    ref = block.apply(variables, x, train=False)
+    assert calls == [], "QUANT_FUSED=0 must stay XLA"
+
+    monkeypatch.setattr(rn, "_QUANT_FUSED", 1)
+    out = block.apply(variables, x, train=False)
+    assert calls == [1], "fused int8 kernel did not engage"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

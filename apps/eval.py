@@ -60,6 +60,10 @@ def main():
     ap.add_argument("--quant_decoder", action="store_true",
                     help="int8 PTQ decoder Residual convs (same "
                          "caveats as --quant_backbone)")
+    ap.add_argument("--quant_aux", action="store_true",
+                    help="int8 PTQ auxiliary convs: stem, AttentionPool, "
+                         "fusion/head convs (config.py:quant_aux_eval; "
+                         "same caveats as --quant_backbone)")
     ap.add_argument("--quant_static", action="store_true",
                     help="static (calibrated) activation scales: one "
                          "calibration pass over the first batch, then "
@@ -80,9 +84,10 @@ def main():
                          "TPU-pod equivalent of its batch loop.")
     opt = ap.parse_args()
 
-    if opt.quant_static and not (opt.quant_backbone or opt.quant_decoder):
-        ap.error("--quant_static requires --quant_backbone and/or "
-                 "--quant_decoder")
+    if opt.quant_static and not (opt.quant_backbone or opt.quant_decoder
+                                 or opt.quant_aux):
+        ap.error("--quant_static requires --quant_backbone, "
+                 "--quant_decoder and/or --quant_aux")
     if opt.fused_bottleneck and opt.dtype != "bfloat16":
         # The kernel's fp32 VMEM temporaries overflow the 16 MB budget at
         # the production 64x64x256 shape (ops/pallas_bottleneck.py) —
@@ -121,6 +126,7 @@ def main():
                       fused_bottleneck_eval=opt.fused_bottleneck,
                       quant_backbone_eval=opt.quant_backbone,
                       quant_decoder_eval=opt.quant_decoder,
+                      quant_aux_eval=opt.quant_aux,
                       quant_static=opt.quant_static)
     model = DIR(cfg)
 
@@ -246,7 +252,8 @@ def main():
         "root_joint": opt.root_joint, "scale": opt.scale,
         "stage": opt.stage, "dtype": opt.dtype,
         "backbone_layers": opt.backbone_layers, "stem": opt.stem,
-        "quant": [opt.quant_backbone, opt.quant_decoder, opt.quant_static],
+        "quant": [opt.quant_backbone, opt.quant_decoder, opt.quant_static,
+                  opt.quant_aux],
         "mano": [opt.mano_path, opt.synthetic_mano],
         "fused_bottleneck": opt.fused_bottleneck,
     }, sort_keys=True)

@@ -44,6 +44,9 @@ def main():
                          "artifact (ops/quant.py; serving numerics)")
     ap.add_argument("--quant_decoder", action="store_true",
                     help="embed the int8 PTQ decoder-Residual path")
+    ap.add_argument("--quant_aux", action="store_true",
+                    help="embed the int8 PTQ aux-conv path (stem, "
+                         "AttentionPool, fusion/head convs)")
     ap.add_argument("--quant_static", action="store_true",
                     help="static activation scales; calibrated on "
                          "--calib_npy images (or one random batch with "
@@ -80,13 +83,15 @@ def main():
     else:
         mano_l, mano_r = load_mano_pair(opt.mano_path)
     layers = tuple(int(x) for x in opt.backbone_layers.split(","))
-    if opt.quant_static and not (opt.quant_backbone or opt.quant_decoder):
-        ap.error("--quant_static requires --quant_backbone and/or "
-                 "--quant_decoder")
+    if opt.quant_static and not (opt.quant_backbone or opt.quant_decoder
+                                 or opt.quant_aux):
+        ap.error("--quant_static requires --quant_backbone, "
+                 "--quant_decoder and/or --quant_aux")
     cfg = ModelConfig(dtype=opt.dtype, backbone_layers=layers,
                       backbone_stem=opt.stem,
                       quant_backbone_eval=opt.quant_backbone,
                       quant_decoder_eval=opt.quant_decoder,
+                      quant_aux_eval=opt.quant_aux,
                       quant_static=opt.quant_static)
     model = DIR(cfg)
 

@@ -67,7 +67,9 @@ def bench_eval(quant=None, quant_static=None, fused=None):
     from __graft_entry__ import _flagship
 
     # QUANT=1: int8 PTQ backbone convs (ops/quant.py); QUANT=2 also
-    # quantizes the decoder Residuals; QUANT_STATIC=1 swaps the
+    # quantizes the decoder Residuals; QUANT=3 also the aux convs
+    # (stem, AttentionPool, fusion/head convs — config.py:
+    # quant_aux_eval); QUANT_STATIC=1 swaps the
     # dynamic activation scales for calibrated ones — serving
     # -option A/B knobs, not the parity default. main() also calls
     # this with explicit args for the serving_int8 extra key.
@@ -90,6 +92,7 @@ def bench_eval(quant=None, quant_static=None, fused=None):
         backbone_stem=os.environ.get("STEM", "conv7"),
         quant_backbone_eval=quant >= 1,
         quant_decoder_eval=quant >= 2,
+        quant_aux_eval=quant >= 3,
         quant_static=quant_static)
     rng = np.random.RandomState(0)
     img = jnp.asarray(rng.randn(BATCH, 256, 256, 3).astype(np.float32))

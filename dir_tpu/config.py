@@ -75,6 +75,14 @@ class ModelConfig:
     # params, pre-activation BNs stay fp). Separate knob so the TPU
     # A/B isolates backbone vs decoder int8 wins.
     quant_decoder_eval: bool = False
+    # Same, for the auxiliary convs outside the block stacks: the stem,
+    # the AttentionPool 3x3s (2048->1024 @8^2 x2 hands — the largest
+    # remaining bf16 conv mass in the int8 serving program, ~4.4 of
+    # 34.5 device-ms), the RefineStage fusion_conv2, and the decoder
+    # final/seg/dense head convs (serve-artifact only; the eval bench
+    # DCEs the heads). Convs followed by a BN get it folded in first
+    # (exact; ops/quant.py:module_quant_conv).
+    quant_aux_eval: bool = False
     # Static (calibrated) activation scales instead of dynamic live
     # |max|: removes the per-conv-input reduction (the quantize fuses
     # into the producer's epilogue) at the cost of a calibration pass

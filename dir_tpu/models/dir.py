@@ -34,6 +34,7 @@ from dir_tpu.models.transformer import STE
 from dir_tpu.ops.bone_splat import bone_splat
 from dir_tpu.ops.splat_conv import fused_splat_conv
 from dir_tpu.ops.projection import ortho_project
+from dir_tpu.ops.quant import module_quant_conv
 from dir_tpu.ops.sampling import grid_sample_nhwc, grid_sample_nhwc_mm
 
 sg = jax.lax.stop_gradient
@@ -121,16 +122,30 @@ class ImgToJointFeature(nn.Module):
 
 
 class AttentionPool(nn.Module):
-    """Spatial-attention pooling head (models/dir.py:227-241,263-266)."""
+    """Spatial-attention pooling head (models/dir.py:227-241,263-266).
+
+    ``quant_eval``: inference-only int8 path for conv1 (the 3x3
+    2048->1024 — the largest bf16 conv left in the int8 serving
+    program) with the following BN folded in; conv2 (1x1 -> 1 logit
+    into the sigmoid) stays fp — negligible time, precision-sensitive
+    output. Identical parameter tree (cfg.quant_aux_eval)."""
 
     dtype: object = jnp.float32
+    quant_eval: bool = False
+    quant_static: bool = False
 
     @nn.compact
     def __call__(self, feat: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         c = feat.shape[-1]
-        a = nn.Conv(c // 2, (3, 3), padding="SAME", dtype=self.dtype,
-                    kernel_init=conv_kernel_init, name="conv1")(feat)
-        a = nn.relu(_bn(train, "bn", self.dtype)(stat_barrier(a, train)))
+        if self.quant_eval and not train and not self.is_initializing():
+            a = nn.relu(module_quant_conv(
+                self, "conv1", feat.astype(self.dtype),
+                static=self.quant_static, out_dtype=self.dtype,
+                fold_bn_name="bn", bn_eps=BN_EPS))
+        else:
+            a = nn.Conv(c // 2, (3, 3), padding="SAME", dtype=self.dtype,
+                        kernel_init=conv_kernel_init, name="conv1")(feat)
+            a = nn.relu(_bn(train, "bn", self.dtype)(stat_barrier(a, train)))
         a = nn.Conv(1, (1, 1), dtype=self.dtype,
                     kernel_init=conv_kernel_init, name="conv2")(a)
         a = nn.sigmoid(a.astype(jnp.float32))
@@ -150,10 +165,14 @@ class InitRegressor(nn.Module):
                  mano_right: ManoModel, train: bool = False) -> dict:
         dt = jnp.dtype(self.cfg.dtype)
         head_init = conv_init_normal(0.001)
-        feat_left = AttentionPool(dtype=dt, name="attention_left")(
-            feat, train)
-        feat_right = AttentionPool(dtype=dt, name="attention_right")(
-            feat, train)
+        feat_left = AttentionPool(dtype=dt,
+                                  quant_eval=self.cfg.quant_aux_eval,
+                                  quant_static=self.cfg.quant_static,
+                                  name="attention_left")(feat, train)
+        feat_right = AttentionPool(dtype=dt,
+                                   quant_eval=self.cfg.quant_aux_eval,
+                                   quant_static=self.cfg.quant_static,
+                                   name="attention_right")(feat, train)
 
         pd_offset = nn.Dense(3, kernel_init=head_init, name="offset")(
             jnp.mean(feat.astype(jnp.float32), axis=(1, 2)))
@@ -303,9 +322,13 @@ class RefineStage(nn.Module):
                             kernel_init=conv_kernel_init,
                             name="fusion_conv1")(fused)
         fused = nn.relu(_bn(train, "fusion_bn", dt)(stat_barrier(fused, train)))
-        fused = nn.Conv(img_feat.shape[-1], (1, 1), dtype=dt,
-                        kernel_init=conv_kernel_init, name="fusion_conv2")(
-            fused)
+        if cfg.quant_aux_eval and not train and not self.is_initializing():
+            fused = module_quant_conv(self, "fusion_conv2", fused,
+                                      static=cfg.quant_static, out_dtype=dt)
+        else:
+            fused = nn.Conv(img_feat.shape[-1], (1, 1), dtype=dt,
+                            kernel_init=conv_kernel_init,
+                            name="fusion_conv2")(fused)
 
         feats = {
             "img_feat": fused,
@@ -321,17 +344,29 @@ class RefineStage(nn.Module):
 
 class SegDenseHead(nn.Module):
     """3-class segmentation / dense-correspondence head
-    (models/dir.py:411-420)."""
+    (models/dir.py:411-420).
+
+    ``quant_eval`` (cfg.quant_aux_eval): int8 conv1 with the following
+    BN folded in; conv2 (1x1 -> 3 logits) stays fp. Serve-artifact-only
+    win — the eval bench DCEs the heads."""
 
     out_ch: int = 3
     dtype: object = jnp.float32
+    quant_eval: bool = False
+    quant_static: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         c = x.shape[-1]
-        x = nn.Conv(c // 2, (3, 3), padding="SAME", dtype=self.dtype,
-                    kernel_init=conv_kernel_init, name="conv1")(x)
-        x = nn.relu(_bn(train, "bn", self.dtype)(stat_barrier(x, train)))
+        if self.quant_eval and not train and not self.is_initializing():
+            x = nn.relu(module_quant_conv(
+                self, "conv1", x.astype(self.dtype),
+                static=self.quant_static, out_dtype=self.dtype,
+                fold_bn_name="bn", bn_eps=BN_EPS))
+        else:
+            x = nn.Conv(c // 2, (3, 3), padding="SAME", dtype=self.dtype,
+                        kernel_init=conv_kernel_init, name="conv1")(x)
+            x = nn.relu(_bn(train, "bn", self.dtype)(stat_barrier(x, train)))
         out = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype,
                       kernel_init=conv_kernel_init, name="conv2")(x)
         return out.astype(jnp.float32)
@@ -392,13 +427,24 @@ class Decoder(nn.Module):
 
         # Final seg / dense heads @ 32x32 (dir.py:404-420,474-476) — trunk
         # dtype; both heads cast their outputs back to fp32 for the loss.
-        x = nn.Conv(d, (3, 3), padding="SAME", use_bias=False, dtype=dt,
-                    kernel_init=conv_kernel_init, name="final_conv1")(enhance)
-        x = nn.relu(_bn(train, "final_bn", dt)(stat_barrier(x, train)))
-        x = nn.Conv(d, (1, 1), dtype=dt, kernel_init=conv_kernel_init,
-                    name="final_conv2")(x)
-        seg = SegDenseHead(dtype=dt, name="seg")(x, train)
-        dense = SegDenseHead(dtype=dt, name="dense")(x, train)
+        qa = cfg.quant_aux_eval and not train and not self.is_initializing()
+        if qa:
+            x = nn.relu(module_quant_conv(
+                self, "final_conv1", enhance.astype(dt), static=qs,
+                out_dtype=dt, fold_bn_name="final_bn", bn_eps=BN_EPS))
+            x = module_quant_conv(self, "final_conv2", x, static=qs,
+                                  out_dtype=dt)
+        else:
+            x = nn.Conv(d, (3, 3), padding="SAME", use_bias=False, dtype=dt,
+                        kernel_init=conv_kernel_init,
+                        name="final_conv1")(enhance)
+            x = nn.relu(_bn(train, "final_bn", dt)(stat_barrier(x, train)))
+            x = nn.Conv(d, (1, 1), dtype=dt, kernel_init=conv_kernel_init,
+                        name="final_conv2")(x)
+        seg = SegDenseHead(dtype=dt, quant_eval=cfg.quant_aux_eval,
+                           quant_static=qs, name="seg")(x, train)
+        dense = SegDenseHead(dtype=dt, quant_eval=cfg.quant_aux_eval,
+                             quant_static=qs, name="dense")(x, train)
 
         return {
             "result_list": outputs,
@@ -428,6 +474,7 @@ class DIR(nn.Module):
                               fused_eval=self.cfg.fused_bottleneck_eval,
                               quant_eval=self.cfg.quant_backbone_eval,
                               quant_static=self.cfg.quant_static,
+                              quant_stem=self.cfg.quant_aux_eval,
                               name="backbone")(img, train)
         init_out = InitRegressor(self.cfg, name="init_regressor")(
             feats[-1], mano_left, mano_right, train)

@@ -329,25 +329,46 @@ class ResNetPyramid(nn.Module):
     fused_eval: bool = False  # see Bottleneck.fused_eval
     quant_eval: bool = False  # see Bottleneck.quant_eval
     quant_static: bool = False  # see Bottleneck.quant_static
+    # Int8 stem conv with bn1 folded in (cfg.quant_aux_eval; the input
+    # image is natively 8-bit, so the input grid is near-lossless).
+    quant_stem: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
         x = x.astype(self.dtype)
+        q_stem = (self.quant_stem and not train
+                  and not self.is_initializing())
+        if q_stem:
+            from dir_tpu.ops.quant import module_quant_conv
         if self.stem == "s2d":
             x = space_to_depth(x, 2)
-            x = nn.Conv(64, (4, 4), strides=(1, 1),
-                        padding=((2, 1), (2, 1)), use_bias=False,
-                        kernel_init=conv_kernel_init, dtype=self.dtype,
-                        name="conv1")(x)
+            if q_stem:
+                x = module_quant_conv(self, "conv1", x,
+                                      padding=((2, 1), (2, 1)),
+                                      static=self.quant_static,
+                                      out_dtype=self.dtype,
+                                      fold_bn_name="bn1", bn_eps=BN_EPS)
+            else:
+                x = nn.Conv(64, (4, 4), strides=(1, 1),
+                            padding=((2, 1), (2, 1)), use_bias=False,
+                            kernel_init=conv_kernel_init, dtype=self.dtype,
+                            name="conv1")(x)
+        elif q_stem:
+            x = module_quant_conv(self, "conv1", x, stride=(2, 2),
+                                  padding=((3, 3), (3, 3)),
+                                  static=self.quant_static,
+                                  out_dtype=self.dtype,
+                                  fold_bn_name="bn1", bn_eps=BN_EPS)
         else:
             x = nn.Conv(64, (7, 7), strides=(2, 2),
                         padding=((3, 3), (3, 3)),
                         use_bias=False, kernel_init=conv_kernel_init,
                         dtype=self.dtype, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train,
-                         momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                         dtype=self.dtype,
-                         name="bn1")(stat_barrier(x, train))
+        if not q_stem:
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                             dtype=self.dtype,
+                             name="bn1")(stat_barrier(x, train))
         x = nn.relu(x)
         # reduce_window + select_and_scatter cost ~2.7 ms/step (b64) —
         # ~8x roofline — but the shifted-strided-slice reformulation

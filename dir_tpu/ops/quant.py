@@ -133,6 +133,42 @@ def calibrate_static_scales(model, variables: dict, img, mano_l,
         variables, _jax.device_get(calib(variables, img)))
 
 
+def module_quant_conv(mod, name: str, x: jnp.ndarray,
+                      stride: Tuple[int, int] = (1, 1), padding="SAME",
+                      static: bool = False, out_dtype=None,
+                      fold_bn_name: Optional[str] = None,
+                      bn_eps: float = 1e-5) -> jnp.ndarray:
+    """Int8 execution of an existing ``nn.Conv`` submodule's parameters.
+
+    The flax-module-side twin of ``quant_conv`` for the auxiliary convs
+    outside the backbone/decoder blocks (AttentionPool, fusion/head
+    convs, the stem): reads the submodule's kernel/bias from the parent
+    scope (the fp path created them; identical parameter tree), records
+    or reads the activation amax via ``module_act_scale`` under
+    ``"{name}_in"``, and optionally folds a FOLLOWING inference
+    BatchNorm (``fold_bn_name``) into the kernel first — exact fp32
+    algebra as ops/pallas_bottleneck.py:fold_bn, extended to convs that
+    carry their own bias: BN(conv(x, W) + b0) == conv(x, W*g) +
+    (beta + (b0 - mean) * g), g = scale/sqrt(var + eps)."""
+    pr = mod.get_variable("params", name)
+    w = pr["kernel"].astype(jnp.float32)
+    b = pr.get("bias")
+    b = None if b is None else b.astype(jnp.float32)
+    if fold_bn_name is not None:
+        bnp = mod.get_variable("params", fold_bn_name)
+        bns = mod.get_variable("batch_stats", fold_bn_name)
+        g = (bnp["scale"].astype(jnp.float32)
+             * jax.lax.rsqrt(bns["var"].astype(jnp.float32) + bn_eps))
+        w = w * g
+        b0 = jnp.zeros_like(g) if b is None else b
+        b = (bnp["bias"].astype(jnp.float32)
+             + (b0 - bns["mean"].astype(jnp.float32)) * g)
+    sc = module_act_scale(mod, f"{name}_in", x, static)
+    return quant_conv(x, w, stride, padding, bias=b,
+                      out_dtype=out_dtype if out_dtype is not None
+                      else x.dtype, act_scale=sc)
+
+
 def conv_int8(x_q: jnp.ndarray, w_q: jnp.ndarray,
               x_scale: jnp.ndarray, w_scale: jnp.ndarray,
               stride: Tuple[int, int] = (1, 1),

@@ -122,7 +122,7 @@ def test_eval_cli_sharded(tmp_path, monkeypatch, capsys, quant):
     """--devices 8 (1-D data mesh over the virtual CPU devices) produces
     the same per-sample errors as the single-device run on the same
     batches. quant=True additionally covers --quant_backbone/--quant
-    _decoder under sharding: the dynamic activation scales are whole
+    _decoder/--quant_aux under sharding: the dynamic activation scales are whole
     -batch |max| reductions (scalar all-reduces under sharding), so the
     sharded and single-device runs still see identical scales."""
     monkeypatch.setenv("JAX_PLATFORMS", "cpu")  # see eval smoke note
@@ -145,7 +145,7 @@ def test_eval_cli_sharded(tmp_path, monkeypatch, capsys, quant):
                 "--backbone_layers", "1,1,1,1",
                 "--synthetic_mano", "--devices", str(ndev)]
         if quant:
-            argv += ["--quant_backbone", "--quant_decoder"]
+            argv += ["--quant_backbone", "--quant_decoder", "--quant_aux"]
         monkeypatch.setattr(sys, "argv", argv)
         app.main()
         capsys.readouterr()

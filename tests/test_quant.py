@@ -299,3 +299,173 @@ def test_backbone_quant_all_blocks():
     for f, rf in zip(feats, ref_feats):
         assert f.shape == rf.shape
         assert np.isfinite(np.asarray(f)).all()
+
+
+def test_attention_pool_quant_path():
+    """AttentionPool.quant_eval: conv1 runs int8 with the FOLLOWING BN
+    folded in (ops/quant.py:module_quant_conv extends fold_bn to convs
+    with their own bias); conv2 stays fp. Tracks the fp module within
+    PTQ error."""
+    import dir_tpu.ops.quant as quant
+    from dir_tpu.models.dir import AttentionPool
+
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(2, 8, 8, 64).astype(np.float32))
+    ref = AttentionPool()
+    qm = AttentionPool(quant_eval=True)
+    variables = ref.init(jax.random.PRNGKey(0), x, True)
+    stats = jax.tree.map(
+        lambda v: v + jnp.asarray(
+            np.abs(rng.randn(*v.shape)).astype(np.float32) * 0.3),
+        variables["batch_stats"])
+    variables = {"params": variables["params"], "batch_stats": stats}
+
+    want = np.asarray(ref.apply(variables, x, False))
+
+    calls = {"n": 0}
+    orig = quant.conv_int8
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    quant.conv_int8 = counting
+    try:
+        got = np.asarray(qm.apply(variables, x, False))
+    finally:
+        quant.conv_int8 = orig
+
+    assert calls["n"] == 1  # conv1 only; the 1x1->sigmoid head stays fp
+    denom = np.sqrt((want ** 2).mean()) + 1e-8
+    rms = np.sqrt(((got - want) ** 2).mean()) / denom
+    assert rms < 0.06, rms
+
+
+def test_seg_dense_head_quant_path():
+    """SegDenseHead.quant_eval: int8 conv1 + folded BN; the 3-logit
+    conv2 stays fp."""
+    import dir_tpu.ops.quant as quant
+    from dir_tpu.models.dir import SegDenseHead
+
+    rng = np.random.RandomState(10)
+    x = jnp.asarray(rng.randn(2, 8, 8, 32).astype(np.float32))
+    ref = SegDenseHead()
+    qm = SegDenseHead(quant_eval=True)
+    variables = ref.init(jax.random.PRNGKey(0), x, True)
+    stats = jax.tree.map(
+        lambda v: v + jnp.asarray(
+            np.abs(rng.randn(*v.shape)).astype(np.float32) * 0.3),
+        variables["batch_stats"])
+    variables = {"params": variables["params"], "batch_stats": stats}
+
+    want = np.asarray(ref.apply(variables, x, False))
+
+    calls = {"n": 0}
+    orig = quant.conv_int8
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    quant.conv_int8 = counting
+    try:
+        got = np.asarray(qm.apply(variables, x, False))
+    finally:
+        quant.conv_int8 = orig
+
+    assert calls["n"] == 1
+    denom = np.sqrt((want ** 2).mean()) + 1e-8
+    rms = np.sqrt(((got - want) ** 2).mean()) / denom
+    assert rms < 0.06, rms
+
+
+@pytest.mark.parametrize("stem", ["conv7", "s2d"])
+def test_stem_quant_path(stem):
+    """ResNetPyramid.quant_stem: the stem conv runs int8 with bn1
+    folded (block convs stay fp when quant_eval is off); pyramid
+    outputs track the fp model within PTQ error."""
+    import dir_tpu.ops.quant as quant
+    from dir_tpu.models.resnet import ResNetPyramid
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    ref = ResNetPyramid(layers=(1, 1, 1, 1), stem=stem)
+    qn = ResNetPyramid(layers=(1, 1, 1, 1), stem=stem, quant_stem=True)
+    variables = ref.init(jax.random.PRNGKey(0), x, True)
+
+    calls = {"n": 0}
+    orig = quant.conv_int8
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    quant.conv_int8 = counting
+    try:
+        feats = qn.apply(variables, x, False)
+    finally:
+        quant.conv_int8 = orig
+
+    assert calls["n"] == 1  # the stem conv only
+    ref_feats = ref.apply(variables, x, False)
+    for f, rf in zip(feats, ref_feats):
+        assert f.shape == rf.shape
+        denom = np.sqrt((np.asarray(rf) ** 2).mean()) + 1e-8
+        rms = np.sqrt(((np.asarray(f) - np.asarray(rf)) ** 2).mean()) / denom
+        assert rms < 0.15, rms
+
+
+def test_model_quant_aux_engages_and_calibrates():
+    """Full tiny DIR with ONLY quant_aux_eval: exactly the 9 aux convs
+    run int8 (stem + 2 AttentionPools + 2 fusion_conv2 + final_conv1/2
+    + 2 head conv1s), outputs stay close to fp, the parameter tree is
+    unchanged, and calibration records one amax per aux conv input."""
+    import dir_tpu.ops.quant as quant
+    from dir_tpu.config import ModelConfig
+    from dir_tpu.mano import fix_left_shapedirs, synthetic_mano
+    from dir_tpu.models.dir import DIR
+    from dir_tpu.ops.quant import merge_calibration
+
+    mano_r = synthetic_mano("right", seed=0)
+    mano_l = fix_left_shapedirs(synthetic_mano("left", seed=0), mano_r)
+    rng = np.random.RandomState(12)
+    img = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+
+    fp = DIR(ModelConfig(backbone_layers=(1, 1, 1, 1)))
+    qm = DIR(ModelConfig(backbone_layers=(1, 1, 1, 1), quant_aux_eval=True))
+    variables = fp.init(jax.random.PRNGKey(0), img, mano_l, mano_r)
+    assert (jax.tree_util.tree_structure(
+        qm.init(jax.random.PRNGKey(0), img, mano_l, mano_r))
+        == jax.tree_util.tree_structure(variables))
+
+    out_fp = fp.apply(variables, img, mano_l, mano_r, train=False)
+
+    calls = {"n": 0}
+    orig = quant.conv_int8
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    quant.conv_int8 = counting
+    try:
+        out_q = qm.apply(variables, img, mano_l, mano_r, train=False)
+    finally:
+        quant.conv_int8 = orig
+
+    assert calls["n"] == 9
+    a = np.asarray(out_fp["stages"][-1]["pd_joint_xyz_left"])
+    b = np.asarray(out_q["stages"][-1]["pd_joint_xyz_left"])
+    assert np.abs(a - b).max() < 0.05, np.abs(a - b).max()
+
+    # calibration fills one amax per aux conv input, then static serves
+    sta = DIR(ModelConfig(backbone_layers=(1, 1, 1, 1), quant_aux_eval=True,
+                          quant_static=True))
+    _, ups = sta.apply(variables, img, mano_l, mano_r, train=False,
+                       mutable=["quant_stats"])
+    leaves = jax.tree_util.tree_leaves(ups["quant_stats"])
+    assert len(leaves) == 9
+    got = sta.apply(merge_calibration(variables, ups), img, mano_l, mano_r,
+                    train=False)
+    np.testing.assert_array_equal(
+        np.asarray(got["stages"][-1]["pd_joint_xyz_left"]), b)

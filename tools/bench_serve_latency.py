@@ -38,7 +38,8 @@ def main():
     model, _, mano_l, mano_r = _flagship(dtype="bfloat16",
                                          fused_bottleneck_eval=True,
                                          quant_backbone_eval=q >= 1,
-                                         quant_decoder_eval=q >= 2)
+                                         quant_decoder_eval=q >= 2,
+                                         quant_aux_eval=q >= 3)
     rng = np.random.RandomState(0)
     shapes = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0),

@@ -37,6 +37,7 @@ def main():
                           "FUSED_BOTTLENECK", "1") != "0",
                       quant_backbone_eval=quant >= 1,
                       quant_decoder_eval=quant >= 2,
+                      quant_aux_eval=quant >= 3,
                       quant_static=quant_static)
     mano_r = synthetic_mano("right", seed=0)
     mano_l = fix_left_shapedirs(synthetic_mano("left", seed=0), mano_r)

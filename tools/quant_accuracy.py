@@ -35,6 +35,9 @@ MODES = [
     ("int8 bb+decoder (QUANT=2)", ["--quant_backbone", "--quant_decoder"]),
     ("int8 bb+dec static (QUANT=2+S)",
      ["--quant_backbone", "--quant_decoder", "--quant_static"]),
+    ("int8 bb+dec+aux static (QUANT=3+S)",
+     ["--quant_backbone", "--quant_decoder", "--quant_aux",
+      "--quant_static"]),
 ]
 
 

@@ -311,18 +311,20 @@ def main():
             record["train_img_per_sec"] = round(TRAIN_BATCH / step_s, 1)
     except Exception as e:  # noqa: BLE001 — the artifact must be JSON
         _emit_error(f"{type(e).__name__}: {e}"[:500])
-    # Serving mode: int8 backbone+decoder with calibrated STATIC scales
-    # and layer1 on the int8 path too (fused=False — the bf16 Pallas
-    # layer1 loses to int8 there: 6,350 vs 7,238 img/s, DESIGN.md §8).
-    # Best-effort extra key: the fp headline above is already printed
-    # on any failure here. Skipped when the caller runs an explicit
-    # quant A/B (QUANT set) or disables it (BENCH_INT8=0).
+    # Serving mode: int8 backbone+decoder+aux convs with calibrated
+    # STATIC scales and layer1 on the int8 path too (fused=False — the
+    # bf16 Pallas layer1 loses to int8 there: 6,350 vs 7,238 img/s;
+    # quant=3 adds the aux convs: 7,565 vs 7,254 same-session A/B
+    # 2026-08-19, DESIGN.md §8). Best-effort extra key: the fp headline
+    # above is already printed on any failure here. Skipped when the
+    # caller runs an explicit quant A/B (QUANT set) or disables it
+    # (BENCH_INT8=0).
     if (os.environ.get("BENCH_INT8", "1") != "0"
             and os.environ.get("BENCH_EVAL", "1") != "0"
             and int(os.environ.get("QUANT", "0")) == 0):
         try:
             record["serving_int8_static_img_per_sec"] = round(
-                bench_eval(quant=2, quant_static=True, fused=False), 2)
+                bench_eval(quant=3, quant_static=True, fused=False), 2)
         except Exception as e:  # noqa: BLE001
             record["serving_int8_static_error"] = f"{type(e).__name__}"[:80]
     print(json.dumps(record))

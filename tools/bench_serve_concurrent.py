@@ -125,13 +125,26 @@ def main():
     from __graft_entry__ import _flagship
 
     mod = _load_serve_http()
+    # QUANT / QUANT_STATIC: measure the int8 serving artifact under
+    # concurrent load (same knobs as bench.py; fused Pallas layer1
+    # comes off under quant — DESIGN.md §8 measured-best).
+    q = int(os.environ.get("QUANT", "0"))
+    qs = os.environ.get("QUANT_STATIC", "0") == "1"
     model, _, mano_l, mano_r = _flagship(
         tiny=TINY, dtype="float32" if TINY else "bfloat16",
-        fused_bottleneck_eval=not TINY)
+        fused_bottleneck_eval=(not TINY) and q == 0,
+        quant_backbone_eval=q >= 1, quant_decoder_eval=q >= 2,
+        quant_aux_eval=q >= 3, quant_static=qs)
     shapes = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 256, 256, 3)), mano_l, mano_r))
     variables = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    if qs:
+        from dir_tpu.ops.quant import calibrate_static_scales
+        rngc = np.random.RandomState(1)
+        calib = jnp.asarray(rngc.randn(8, 256, 256, 3).astype(np.float32))
+        variables = calibrate_static_scales(model, variables, calib,
+                                            mano_l, mano_r)
     blob = serve.export_infer(model, variables, mano_l, mano_r,
                               batch_size=None)
     path = "/tmp/bench_serve_concurrent.stablehlo"

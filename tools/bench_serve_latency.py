@@ -31,20 +31,27 @@ ITERS = int(os.environ.get("ITERS", "30"))
 def main():
     from __graft_entry__ import _flagship
 
-    # QUANT=1/2: int8 PTQ backbone / +decoder (ops/quant.py), same
-    # knob as bench.py. The fused Pallas layer1 stays on (guard
-    # ordering: Pallas keeps its measured-best blocks).
+    # QUANT=1/2/3 + QUANT_STATIC=1: same knobs as bench.py. Under
+    # quant the fused Pallas layer1 comes OFF (the int8 path beats it
+    # there — DESIGN.md §8); the fp run keeps it (measured-best).
     q = int(os.environ.get("QUANT", "0"))
+    qs = os.environ.get("QUANT_STATIC", "0") == "1"
     model, _, mano_l, mano_r = _flagship(dtype="bfloat16",
-                                         fused_bottleneck_eval=True,
+                                         fused_bottleneck_eval=q == 0,
                                          quant_backbone_eval=q >= 1,
                                          quant_decoder_eval=q >= 2,
-                                         quant_aux_eval=q >= 3)
+                                         quant_aux_eval=q >= 3,
+                                         quant_static=qs)
     rng = np.random.RandomState(0)
     shapes = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 256, 256, 3)), mano_l, mano_r))
     variables = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    if qs:
+        from dir_tpu.ops.quant import calibrate_static_scales
+        calib = jnp.asarray(rng.randn(8, 256, 256, 3).astype(np.float32))
+        variables = calibrate_static_scales(model, variables, calib,
+                                            mano_l, mano_r)
 
     @jax.jit
     def infer(vs, img):

@@ -47,6 +47,15 @@ _BN_BARRIER = int(_os.environ.get("BN_BARRIER", "0"))
 # Parameter tree is identical in every mode.
 _PAIR_FUSION = int(_os.environ.get("PAIR_FUSION", "1"))
 
+# upsample2x lowering experiment (UPSAMPLE_TCONV=1): the profiled
+# jax.image.resize lowering runs ~6x off HBM roofline (1.62 ms/step at
+# eval b256 for ~335 MB of traffic). The alternative expresses the SAME
+# half-pixel bilinear 2x as an edge-pad + depthwise transposed conv
+# (lhs_dilation=2, taps [0.25 0.75 0.75 0.25] per axis) — exact algebra
+# (tests/test_layers_upsample.py), different XLA lowering. Off until
+# the TPU A/B (tools/bench_upsample.py) says it wins.
+_UPSAMPLE_TCONV = int(_os.environ.get("UPSAMPLE_TCONV", "0"))
+
 
 def stat_barrier(x: jnp.ndarray, train: bool) -> jnp.ndarray:
     if (train and _BN_BARRIER and x.ndim == 4
@@ -338,4 +347,27 @@ def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
     well-tiled convolution.)
     """
     b, h, w, c = x.shape
+    if _UPSAMPLE_TCONV:
+        return _upsample2x_tconv(x)
     return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="linear")
+
+
+def _upsample2x_tconv(x: jnp.ndarray) -> jnp.ndarray:
+    """Half-pixel bilinear 2x as edge-pad + depthwise transposed conv.
+
+    Exact rewrite of the resize: out[2i] = 0.25 in[i-1] + 0.75 in[i],
+    out[2i+1] = 0.75 in[i] + 0.25 in[i+1], edges clamped — i.e. a
+    4-tap [0.25, 0.75, 0.75, 0.25] kernel over the 2x input-dilated,
+    edge-padded signal, separable per axis. One fused 4x4 depthwise
+    conv does both axes (rank-1 kernel outer product)."""
+    b, h, w, c = x.shape
+    taps = jnp.asarray([0.25, 0.75, 0.75, 0.25], x.dtype)
+    k = (taps[:, None] * taps[None, :])[:, :, None, None]  # (4,4,1,1)
+    k = jnp.broadcast_to(k, (4, 4, 1, c))
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    dn = jax.lax.conv_dimension_numbers(xp.shape, k.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(
+        xp, k, window_strides=(1, 1), padding=((0, 0), (0, 0)),
+        lhs_dilation=(2, 2), dimension_numbers=dn,
+        feature_group_count=c)

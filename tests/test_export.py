@@ -88,6 +88,44 @@ def test_export_symbolic_batch_fused(rng):
     assert blob.startswith(serve._MAGIC)
 
 
+def test_export_symbolic_batch_quant_static(rng):
+    """Symbolic-batch export of the calibrated int8 serving config
+    (QUANT=3 static — the measured-best deployment mode): the
+    quant_stats amaxes embed in the artifact as constants and the
+    loaded function reproduces the live model on any batch size.
+
+    Tolerance: the symbolic-batch program fuses differently from the
+    live jit, so activations sitting exactly on an int8 rounding
+    boundary can flip by one quantum (observed diffs ~2e-6 m on 23% of
+    mesh vertices — the same partition-dependent-fusion effect as the
+    sharded-eval quant test, test_apps_cli.py). 5e-4 m passes quantum
+    noise and still fails on any real wiring bug (wrong scale/conv
+    routes are >1e-2)."""
+    from dir_tpu.ops.quant import calibrate_static_scales
+
+    cfg = ModelConfig(backbone_layers=(1, 1, 1, 1),
+                      quant_backbone_eval=True, quant_decoder_eval=True,
+                      quant_aux_eval=True, quant_static=True)
+    mano_r = synthetic_mano("right", seed=0)
+    mano_l = fix_left_shapedirs(synthetic_mano("left", seed=0), mano_r)
+    model = DIR(cfg)
+    img0 = jnp.zeros((1, 256, 256, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img0, mano_l, mano_r)
+    calib = jnp.asarray(rng.randn(2, 256, 256, 3).astype(np.float32))
+    variables = calibrate_static_scales(model, variables, calib,
+                                        mano_l, mano_r)
+    blob = serve.export_infer(model, variables, mano_l, mano_r,
+                              batch_size=None)
+    fn = serve.load_infer(blob)
+    img = jnp.asarray(rng.randn(3, 256, 256, 3).astype(np.float32))
+    got = fn(img)
+    want = model.apply(variables, img, mano_l, mano_r, train=False)
+    np.testing.assert_allclose(
+        np.asarray(got["stages"][-1]["pd_mesh_xyz_left"]),
+        np.asarray(want["stages"][-1]["pd_mesh_xyz_left"]),
+        rtol=0, atol=5e-4)
+
+
 def test_load_rejects_foreign_blob():
     with pytest.raises(ValueError, match="bad magic"):
         serve.load_infer(b"not an artifact")

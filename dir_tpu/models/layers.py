@@ -47,14 +47,18 @@ _BN_BARRIER = int(_os.environ.get("BN_BARRIER", "0"))
 # Parameter tree is identical in every mode.
 _PAIR_FUSION = int(_os.environ.get("PAIR_FUSION", "1"))
 
-# upsample2x lowering experiment (UPSAMPLE_TCONV=1): the profiled
-# jax.image.resize lowering runs ~6x off HBM roofline (1.62 ms/step at
-# eval b256 for ~335 MB of traffic). The alternative expresses the SAME
-# half-pixel bilinear 2x as an edge-pad + depthwise transposed conv
+# upsample2x lowering (UPSAMPLE_TCONV=0 reverts to jax.image.resize):
+# the resize lowering profiled ~6x off HBM roofline in-model (1.62
+# ms/step at eval b256). The default expresses the SAME half-pixel
+# bilinear 2x as an edge-pad + depthwise transposed conv
 # (lhs_dilation=2, taps [0.25 0.75 0.75 0.25] per axis) — exact algebra
-# (tests/test_layers_upsample.py), different XLA lowering. Off until
-# the TPU A/B (tools/bench_upsample.py) says it wins.
-_UPSAMPLE_TCONV = int(_os.environ.get("UPSAMPLE_TCONV", "0"))
+# (tests/test_layers_upsample.py), different XLA lowering. In isolation
+# the two tie at the dispatch floor, but IN-MODEL the tconv wins every
+# program (v5e, 2026-08-19 same-session A/Bs): fp eval 6,471-6,478 vs
+# ~6,170 img/s (+4.9%), int8-static serving 7,780 vs 7,565 (+2.8%),
+# train step 60.20 vs 61.06 ms (+1.4% — the resize gather backward
+# becomes a conv backward). Default ON by measurement.
+_UPSAMPLE_TCONV = int(_os.environ.get("UPSAMPLE_TCONV", "1"))
 
 
 def stat_barrier(x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -339,12 +343,16 @@ def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
     semantics (reference: models/dir.py:392,398).
 
     For an exact 2x scale with align_corners=False, the output pixel i
-    samples input coordinate (i + 0.5)/2 - 0.5 — jax.image.resize with
-    method='linear' implements the same half-pixel convention. (An
-    explicit separable 0.75/0.25 stencil with stack-interleave was
-    measured 3.5x SLOWER than this lowering on TPU — the even/odd
-    interleave becomes strided data formatting; resize lowers to a
-    well-tiled convolution.)
+    samples input coordinate (i + 0.5)/2 - 0.5. Three lowerings were
+    measured (all exact to fp rounding):
+      - explicit separable 0.75/0.25 stencil with stack-interleave:
+        3.5x SLOWER than resize on TPU (the even/odd interleave becomes
+        strided data formatting) — rejected round 3;
+      - jax.image.resize(method='linear'): the former default;
+      - depthwise transposed conv (_upsample2x_tconv): ties resize in
+        isolation but wins IN-MODEL on all three programs (fp eval
+        +4.9%, int8 serving +2.8%, train −0.86 ms — header comment) —
+        the DEFAULT by measurement; UPSAMPLE_TCONV=0 reverts.
     """
     b, h, w, c = x.shape
     if _UPSAMPLE_TCONV:

@@ -262,6 +262,23 @@ def main():
     # (mid-run saves) nor deletes (completion) the other's progress
     fp_hash = _hashlib.sha1(config_fp.encode()).hexdigest()[:8]
     resume_path = os.path.join(opt.out, f"eval_resume.{fp_hash}.npz")
+    # one-time migration from the pre-hash file name: an interrupted
+    # multi-hour run saved before the rename must not restart at batch 0
+    legacy_path = os.path.join(opt.out, "eval_resume.npz")
+    if (opt.resume_every and not os.path.exists(resume_path)
+            and os.path.exists(legacy_path)):
+        try:
+            legacy = np.load(legacy_path, allow_pickle=False)
+            if str(legacy["_config"]) == config_fp:
+                os.replace(legacy_path, resume_path)
+                logger.info("migrated legacy %s -> %s",
+                            legacy_path, resume_path)
+            else:
+                logger.warning("legacy %s ignored: config fingerprint "
+                               "differs (left in place)", legacy_path)
+        except Exception as e:  # corrupt/foreign file: never block eval
+            logger.warning("legacy %s unreadable (%s); ignored",
+                           legacy_path, e)
     start_batch = 0
     if opt.resume_every and os.path.exists(resume_path):
         saved = np.load(resume_path, allow_pickle=False)

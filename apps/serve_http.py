@@ -156,12 +156,22 @@ class MicroBatcher:
         return group
 
     def _dispatch_single(self, img: np.ndarray) -> dict:
+        # Pad to a warmed bucket just like the group path: on a
+        # symbolic-batch artifact a raw-size dispatch would compile a
+        # fresh program per distinct size (minutes through the tunnel)
+        # while the batcher thread — and every queued request — waits.
+        n_real = int(img.shape[0])
+        pad_to = next((b for b in self.buckets if b >= n_real), n_real)
+        if pad_to > n_real:
+            img = np.concatenate(
+                [img, np.zeros((pad_to - n_real,) + img.shape[1:],
+                               img.dtype)])
         with self.lock:
             out = self.infer(img)
-            resp = {k: np.asarray(v) for k, v in
+            resp = {k: np.asarray(v)[:n_real] for k, v in
                     _final_outputs(out, self.full).items()}
             self.stats["dispatches"] += 1
-            self.stats["images"] += int(img.shape[0])
+            self.stats["images"] += n_real
         return resp
 
     def _loop(self):

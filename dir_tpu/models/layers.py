@@ -378,4 +378,8 @@ def _upsample2x_tconv(x: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.conv_general_dilated(
         xp, k, window_strides=(1, 1), padding=((0, 0), (0, 0)),
         lhs_dilation=(2, 2), dimension_numbers=dn,
-        feature_group_count=c)
+        feature_group_count=c,
+        # 16 taps/channel: HIGHEST is free here, and keeps the "exact to
+        # fp rounding" equivalence on-device, where default precision
+        # would accumulate the fp32 parity path in bf16.
+        precision=jax.lax.Precision.HIGHEST)

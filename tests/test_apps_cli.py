@@ -229,11 +229,19 @@ def test_eval_resume_matches_uninterrupted(tmp_path, monkeypatch, capsys):
     resume_file = resume_files[0]
     assert int(np.load(resume_file)["_batches_done"]) == 2
 
+    # Simulate a checkpoint written before the hashed-name upgrade: the
+    # resumed run must migrate eval_resume.npz to the hashed path and
+    # continue from batch 2 rather than silently starting over (ADVICE
+    # r4: orphaned legacy checkpoint).
+    legacy_file = os.path.join(out_dir, "eval_resume.npz")
+    os.replace(resume_file, legacy_file)
+
     # --- resumed run: completes and matches ---
     monkeypatch.setattr(BatchLoader, "iter_from", real_iter_from)
     got = run(out_dir)
     assert got == want
     assert not os.path.exists(resume_file)  # cleaned up on completion
+    assert not os.path.exists(legacy_file)  # migrated, then cleaned up
     for f in ("joint_left_error.txt", "root_loss.txt", "left_joint.txt"):
         a = np.loadtxt(os.path.join(out_dir, f))
         b = np.loadtxt(os.path.join(str(tmp_path / "full"), f))

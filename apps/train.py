@@ -47,6 +47,10 @@ def main():
                          "Tester, train.py:246-336)")
     ap.add_argument("--device_pipeline", action="store_true",
                     help="fused on-device preprocessing (host decodes only)")
+    ap.add_argument("--packed_cache", action="store_true",
+                    help="serve samples from the packed decode-once mmap "
+                         "cache (build with tools/build_sample_cache.py); "
+                         "hot loop pays augmentation only")
     ap.add_argument("--grad_accum", type=int, default=1,
                     help="micro-batches accumulated into one optimizer "
                          "step (effective batch = batch_size * this)")
@@ -65,7 +69,8 @@ def main():
             model=ModelConfig(root_joint=opt.root_joint, dtype=opt.dtype),
             data=DataConfig(data_dir=opt.data_dir,
                             num_workers=opt.num_workers,
-                            device_pipeline=opt.device_pipeline),
+                            device_pipeline=opt.device_pipeline,
+                            packed_cache=opt.packed_cache),
             train=TrainConfig(batch_size=opt.batch_size,
                               total_epochs=opt.epochs,
                               lr=opt.lr, lr_scheduler=opt.lr_scheduler,

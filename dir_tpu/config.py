@@ -135,6 +135,13 @@ class DataConfig:
     # True = native/imageops.cpp (same constant-border semantics within
     # 1 u8 LSB; tools/bench_input_pipeline.py has the numbers).
     native_warp: bool = False
+    # Serve samples from the packed decode-once mmap cache
+    # (dir_tpu.data.sample_cache; build with tools/build_sample_cache.py)
+    # instead of re-decoding JPEGs + re-running MANO GT synthesis every
+    # epoch. Output-identical to the JPEG path; trades disk for the
+    # host cores the reference spends on 16 DataLoader workers
+    # (train.py:208-220).
+    packed_cache: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -84,8 +84,12 @@ class InterHandDataset:
         j2 = j2[:, :2] / j2[:, 2:]
         return verts, joints, v2, j2
 
-    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
-        split, S = self.split, self.img_size
+    def _load_raw(self, idx: int):
+        """Decode images and synthesize camera-frame MANO GT — the
+        deterministic (epoch-independent) part of ``__getitem__``, and
+        exactly what the packed sample cache stores
+        (dir_tpu/data/sample_cache.py)."""
+        split = self.split
         img = cv.imread(osp.join(self.data_path, split, "img", f"{idx}.jpg"))
         mask = cv.imread(osp.join(self.data_path, split, "mask", f"{idx}.jpg"))
         dense = cv.imread(
@@ -101,6 +105,13 @@ class InterHandDataset:
                                          R, T, camera)
         vr, jr, v2r, j2r = self._mano_gt(data["mano_params"]["right"],
                                          "right", R, T, camera)
+        return (img, mask, dense, camera,
+                vl, jl, v2l, j2l, vr, jr, v2r, j2r)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        S = self.img_size
+        (img, mask, dense, camera,
+         vl, jl, v2l, j2l, vr, jr, v2r, j2r) = self._load_raw(idx)
 
         do_flip = False
         rng = self._sample_rng(idx)

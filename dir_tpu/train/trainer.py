@@ -66,8 +66,18 @@ class Trainer:
         self.model = DIR(cfg.model)
         self.start_epoch = 0
         self.best = float("inf")
+        self.last_loss = float("nan")
 
     # -- setup -------------------------------------------------------------
+
+    def _host_dataset(self, split: str, **kw):
+        c = self.cfg
+        ds_cls = InterHandDataset
+        if c.data.packed_cache:
+            from dir_tpu.data.sample_cache import CachedInterHandDataset
+            ds_cls = CachedInterHandDataset
+        return ds_cls(c.data.data_dir, split, self.mano_left,
+                      self.mano_right, img_size=c.data.img_size, **kw)
 
     def make_data(self):
         c = self.cfg
@@ -88,16 +98,12 @@ class Trainer:
                 train=False)
             self._aug_key = jax.random.PRNGKey(c.train.seed)
         else:
-            self.train_ds = InterHandDataset(
-                c.data.data_dir, "train", self.mano_left, self.mano_right,
-                img_size=c.data.img_size, seed=c.train.seed,
-                native_warp=c.data.native_warp)
+            self.train_ds = self._host_dataset("train", seed=c.train.seed,
+                                               native_warp=c.data.native_warp)
             self.preprocess_train = None
             self.preprocess_test = None
         if self.preprocess_test is None:
-            self.test_ds = InterHandDataset(
-                c.data.data_dir, "test", self.mano_left, self.mano_right,
-                img_size=c.data.img_size, augment_train=False)
+            self.test_ds = self._host_dataset("test", augment_train=False)
         self.train_loader = BatchLoader(
             self.train_ds, c.train.batch_size, shuffle=True, drop_last=True,
             num_threads=c.data.num_workers, seed=c.train.seed)
@@ -221,6 +227,7 @@ class Trainer:
                     if it % c.train.print_every == 0:
                         total = float(sum(
                             jax.tree.map(float, loss_dict).values()))
+                        self.last_loss = total  # probe for tests/tools
                         lr = float(self.sched(self.state.step))
                         self.logger.info(
                             "[epoch %d][it %d] lr %.6f loss %.4f", epoch, it,

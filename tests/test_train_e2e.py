@@ -101,6 +101,41 @@ def test_trainer_device_pipeline(env):
 
 
 @pytest.mark.slow
+def test_trainer_packed_cache(env):
+    """Trainer through the packed decode-once sample cache
+    (data.packed_cache=True; VERDICT r4 #3): one epoch runs end-to-end
+    and the first logged loss equals the JPEG-path trainer's bitwise —
+    the cache is output-identical, so step 1 on identical shuffled
+    batches must produce the identical loss."""
+    import dataclasses
+
+    from dir_tpu.data.sample_cache import build_cache
+
+    cfg, left, right = env
+    build_cache(cfg.data.data_dir, "train", left, right, log_every=0)
+    build_cache(cfg.data.data_dir, "test", left, right, log_every=0)
+
+    def first_loss(packed: bool, tag: str) -> float:
+        cfg2 = dataclasses.replace(
+            cfg,
+            data=dataclasses.replace(cfg.data, packed_cache=packed),
+            train=dataclasses.replace(
+                cfg.train, draw_every=0, total_epochs=1,
+                output_dir=cfg.train.output_dir + tag))
+        trainer = Trainer(cfg2, left, right, mesh=make_mesh(2))
+        trainer.make_data()
+        trainer.make_model()
+        best = trainer.train()
+        assert np.isfinite(best)
+        assert int(trainer.state.step) == 2
+        return trainer.last_loss
+
+    got = first_loss(True, "_cache")
+    want = first_loss(False, "_jpg")
+    assert got == want  # bit-identical batches -> bit-identical loss
+
+
+@pytest.mark.slow
 def test_loss_decreases_overfitting_one_batch(env):
     """30 update steps on a fixed batch must cut the loss substantially —
     catches broken gradients / update wiring that shape tests miss."""

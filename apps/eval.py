@@ -148,17 +148,14 @@ def main():
                                                 variables["batch_stats"]),
         }
     else:
-        from dir_tpu.train.state import TrainState
-        import jax.numpy as jnp2
-        state = TrainState(step=jnp2.zeros((), jnp2.int32),
-                           params=variables["params"],
-                           batch_stats=variables["batch_stats"],
-                           opt_state=None)
-        restored = ckpt.restore_checkpoint(os.path.dirname(opt.model) or ".",
-                                           state,
-                                           os.path.basename(opt.model))
-        variables = {"params": restored.params,
-                     "batch_stats": restored.batch_stats}
+        logger.info("loading trainer checkpoint %s", opt.model)
+        params, stats = ckpt.load_checkpoint_weights(
+            os.path.dirname(opt.model) or ".", os.path.basename(opt.model))
+        variables = {
+            "params": ckpt.prune_to_target(params, variables["params"]),
+            "batch_stats": ckpt.prune_to_target(stats,
+                                                variables["batch_stats"]),
+        }
 
     # Data-parallel mesh: batch axis sharded, weights replicated. The
     # forward + metric program is batch-parallel, so per-sample outputs

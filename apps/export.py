@@ -112,16 +112,13 @@ def main():
                                                 variables["batch_stats"]),
         }
     else:
-        from dir_tpu.train.state import TrainState
-        state = TrainState(step=jnp.zeros((), jnp.int32),
-                           params=variables["params"],
-                           batch_stats=variables["batch_stats"],
-                           opt_state=None)
-        restored = ckpt.restore_checkpoint(
-            os.path.dirname(opt.model) or ".", state,
-            os.path.basename(opt.model))
-        variables = {"params": restored.params,
-                     "batch_stats": restored.batch_stats}
+        params, stats = ckpt.load_checkpoint_weights(
+            os.path.dirname(opt.model) or ".", os.path.basename(opt.model))
+        variables = {
+            "params": ckpt.prune_to_target(params, variables["params"]),
+            "batch_stats": ckpt.prune_to_target(stats,
+                                                variables["batch_stats"]),
+        }
 
     if opt.quant_static:
         from dir_tpu.ops.quant import calibrate_static_scales

@@ -25,9 +25,10 @@ from dir_tpu.config import ModelConfig
 from dir_tpu.mano.assets import ManoModel
 from dir_tpu.mano.layer import (mano_forward_pca6d_pair,
                                 stack_mano_pair)
-from dir_tpu.models.layers import (MLP1d, Residual, conv_init_normal,
-                                   conv_kernel_init, stat_barrier,
-                                   upsample2x, BN_EPS, BN_MOMENTUM)
+from dir_tpu.models.layers import (MLP1d, Residual, TorchBatchNorm,
+                                   conv_init_normal, conv_kernel_init,
+                                   stat_barrier, upsample2x, BN_EPS,
+                                   BN_MOMENTUM)
 from dir_tpu.models.resnet import ResNetPyramid
 from dir_tpu.models.gcn import ResSimplePGCN, hand_adjacency
 from dir_tpu.models.transformer import STE
@@ -38,6 +39,15 @@ from dir_tpu.ops.quant import module_quant_conv
 from dir_tpu.ops.sampling import grid_sample_nhwc, grid_sample_nhwc_mm
 
 sg = jax.lax.stop_gradient
+
+
+def _head32(x: jnp.ndarray) -> jnp.ndarray:
+    """Cast to AT LEAST fp32: parameter heads / pooled statistics never
+    run reduced-precision under the bf16 trunk (same as a plain fp32
+    cast there), but stay fp64 under the fp64 gradient oracle
+    (tests/test_reference_oracle_grad.py), where a hard fp32 pin would
+    truncate the comparison against torch's all-double reference."""
+    return x.astype(jnp.promote_types(x.dtype, jnp.float32))
 
 
 class _SplatConvParams(nn.Module):
@@ -56,9 +66,12 @@ class _SplatConvParams(nn.Module):
         return kernel, bias
 
 
-def _bn(train: bool, name: str, dtype=jnp.float32) -> nn.BatchNorm:
-    return nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                        epsilon=BN_EPS, dtype=dtype, name=name)
+def _bn(train: bool, name: str, dtype=jnp.float32) -> TorchBatchNorm:
+    # torch-semantics BN (two-pass variance + unbiased running-var
+    # update) — both differences vs flax nn.BatchNorm were caught by
+    # the gradient/trajectory oracles; see layers.TorchBatchNorm.
+    return TorchBatchNorm(use_running_average=not train, dtype=dtype,
+                          name=name)
 
 
 def _mano_and_project(mano_left: ManoModel, mano_right: ManoModel,
@@ -148,9 +161,9 @@ class AttentionPool(nn.Module):
             a = nn.relu(_bn(train, "bn", self.dtype)(stat_barrier(a, train)))
         a = nn.Conv(1, (1, 1), dtype=self.dtype,
                     kernel_init=conv_kernel_init, name="conv2")(a)
-        a = nn.sigmoid(a.astype(jnp.float32))
+        a = nn.sigmoid(_head32(a))
         # fp32 pooled statistics feed the MANO parameter heads
-        num = jnp.sum(feat.astype(jnp.float32) * a, axis=(1, 2))
+        num = jnp.sum(_head32(feat) * a, axis=(1, 2))
         den = jnp.sum(a, axis=(1, 2)) + 1e-8
         return num / den
 
@@ -175,7 +188,7 @@ class InitRegressor(nn.Module):
                                    name="attention_right")(feat, train)
 
         pd_offset = nn.Dense(3, kernel_init=head_init, name="offset")(
-            jnp.mean(feat.astype(jnp.float32), axis=(1, 2)))
+            jnp.mean(_head32(feat), axis=(1, 2)))
         para_left = nn.Dense(self.cfg.mano_param_dim, kernel_init=head_init,
                              name="mano_left")(feat_left)
         para_right = nn.Dense(self.cfg.mano_param_dim, kernel_init=head_init,
@@ -205,8 +218,8 @@ class RegressorOffset(nn.Module):
         head_init = conv_init_normal(0.001)
         b = joint_feat_left.shape[0]
         # fp32 parameter heads regardless of the trunk compute dtype
-        flat_l = joint_feat_left.reshape(b, -1).astype(jnp.float32)
-        flat_r = joint_feat_right.reshape(b, -1).astype(jnp.float32)
+        flat_l = _head32(joint_feat_left.reshape(b, -1))
+        flat_r = _head32(joint_feat_right.reshape(b, -1))
 
         glob_l = jnp.concatenate([flat_l, sg(prev_para_left)], axis=-1)
         glob_r = jnp.concatenate([flat_r, sg(prev_para_right)], axis=-1)
@@ -369,7 +382,7 @@ class SegDenseHead(nn.Module):
             x = nn.relu(_bn(train, "bn", self.dtype)(stat_barrier(x, train)))
         out = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype,
                       kernel_init=conv_kernel_init, name="conv2")(x)
-        return out.astype(jnp.float32)
+        return _head32(out)
 
 
 class Decoder(nn.Module):

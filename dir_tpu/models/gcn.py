@@ -13,7 +13,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from dir_tpu.models.layers import BN_EPS, BN_MOMENTUM
+from dir_tpu.models.layers import TorchBatchNorm
 
 # 21-joint hand skeleton edges (SemGCN/utils.py:66-71).
 HAND_EDGES = (
@@ -135,8 +135,8 @@ class GraphConvBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = PGraphConv(self.out_features, self.adjacency, dtype=self.dtype,
                        name="gconv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, dtype=self.dtype, name="bn")(x)
+        x = TorchBatchNorm(use_running_average=not train,
+                           dtype=self.dtype, name="bn")(x)
         return nn.relu(x)
 
 

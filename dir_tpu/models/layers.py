@@ -90,13 +90,69 @@ class ConvBNRelu(nn.Module):
                     use_bias=self.use_bias, kernel_init=conv_kernel_init,
                     dtype=self.dtype, name="conv")(x)
         if self.use_bn:
-            x = nn.BatchNorm(use_running_average=not train,
-                             momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                             dtype=self.dtype,
-                             name="bn")(stat_barrier(x, train))
+            x = TorchBatchNorm(use_running_average=not train,
+                               dtype=self.dtype,
+                               name="bn")(stat_barrier(x, train))
         if self.use_relu:
             x = nn.relu(x)
         return x
+
+
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch's running-statistics semantics.
+
+    Differences vs flax nn.BatchNorm, both torch-parity requirements
+    found by the gradient/trajectory oracles
+    (tests/test_reference_oracle_grad.py):
+      * two-pass batch variance (flax's default fast E[x^2]-E[x]^2
+        cancels catastrophically in fp32 when |mean| >> std, skewing
+        sigma and the whole BN backward);
+      * the running-var update uses the UNBIASED estimate
+        (x n/(n-1), torch _BatchNorm) while normalization stays biased
+        — flax feeds the biased value to both, skewing eval-mode stats
+        by n/(n-1) (2.4% at the 42-token MLP BatchNorm1ds).
+
+    Parameter/batch_stats tree (scale/bias, mean/var) is IDENTICAL to
+    nn.BatchNorm, so checkpoints are interchangeable.
+    """
+
+    use_running_average: bool
+    momentum: float = BN_MOMENTUM
+    epsilon: float = BN_EPS
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feat,), jnp.float32))
+        if self.use_running_average:
+            mu, var = ra_mean.value, ra_var.value
+        else:
+            # stats in at-least-fp32 (fp64 under the fp64 oracle)
+            xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
+            axes = tuple(range(x.ndim - 1))
+            mu = xf.mean(axis=axes)
+            var = jnp.square(xf - mu).mean(axis=axes)
+            if not self.is_initializing():
+                n = x.size // feat
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mu
+                ra_var.value = (m * ra_var.value
+                                + (1 - m) * var * (n / max(n - 1, 1)))
+        # flax op order and dtype discipline: stats at-least-fp32 above,
+        # normalization in the compute dtype (bf16 on the bf16 trunk —
+        # keeps the benched eval program shape; fp64 under the oracle)
+        dt = jnp.dtype(self.dtype)
+        mul = (jax.lax.rsqrt(var.astype(dt) + jnp.asarray(self.epsilon, dt))
+               * scale.astype(dt))
+        return (x.astype(dt) - mu.astype(dt)) * mul + bias.astype(dt)
 
 
 class _PairBN(nn.Module):
@@ -106,8 +162,8 @@ class _PairBN(nn.Module):
     ``concat(bn_a(a), bn_b(b))`` with sliced parameters/stats. The
     parameter/batch_stats tree (scale/bias/mean/var of size Ca+Cb) is
     IDENTICAL to nn.BatchNorm on the concat, so checkpoints convert
-    unchanged. Stat formulas replicate flax (f32, fast variance
-    E[x^2]-E[x]^2 clipped at 0, running update skipped at init)."""
+    unchanged. Stat formulas replicate flax with use_fast_variance=False
+    (f32 two-pass variance, running update skipped at init)."""
 
     momentum: float = BN_MOMENTUM
     epsilon: float = BN_EPS
@@ -125,9 +181,15 @@ class _PairBN(nn.Module):
                                lambda: jnp.ones((c,), jnp.float32))
 
         def stats(x):
+            # Two-pass variance, NOT E[x^2]-E[x]^2: the fast form
+            # catastrophically cancels in fp32 when |mean| >> std, which
+            # poisons sigma and hence the 1/sigma-scaled BN backward —
+            # found by the gradient-level oracle
+            # (tests/test_reference_oracle_grad.py); torch uses the
+            # stable form. Matches use_fast_variance=False everywhere.
             xf = x.astype(jnp.float32)
             mu = xf.mean(axis=(0, 1, 2))
-            var = jnp.maximum(0.0, (xf * xf).mean(axis=(0, 1, 2)) - mu * mu)
+            var = jnp.square(xf - mu).mean(axis=(0, 1, 2))
             return mu, var
 
         if train:
@@ -135,10 +197,15 @@ class _PairBN(nn.Module):
             mu_b, var_b = stats(stat_barrier(b, train))
             if not self.is_initializing():
                 m = self.momentum
+                # unbiased running-var update, matching TorchBatchNorm
+                na = a.size // ca
+                nb = b.size // cb
                 ra_mean.value = (m * ra_mean.value + (1 - m)
                                  * jnp.concatenate([mu_a, mu_b]))
                 ra_var.value = (m * ra_var.value + (1 - m)
-                                * jnp.concatenate([var_a, var_b]))
+                                * jnp.concatenate(
+                                    [var_a * (na / max(na - 1, 1)),
+                                     var_b * (nb / max(nb - 1, 1))]))
         else:
             mu_a, mu_b = ra_mean.value[:ca], ra_mean.value[ca:]
             var_a, var_b = ra_var.value[:ca], ra_var.value[ca:]
@@ -207,9 +274,8 @@ class Residual(nn.Module):
         in_dim = x.shape[-1] + (pair.shape[-1] if pair is not None else 0)
 
         def bn(name):
-            return nn.BatchNorm(use_running_average=not train,
-                                momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                                dtype=self.dtype, name=name)
+            return TorchBatchNorm(use_running_average=not train,
+                                  dtype=self.dtype, name=name)
 
         use_pair = _PAIR_FUSION == 2 or (_PAIR_FUSION == 1 and not train)
         if pair is not None and not use_pair:
@@ -299,9 +365,9 @@ class MLP1d(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, dtype=self.dtype,
-                         name="bn")(stat_barrier(x, train))
+        x = TorchBatchNorm(use_running_average=not train,
+                           dtype=self.dtype,
+                           name="bn")(stat_barrier(x, train))
         x = nn.relu(x)
         x = nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
         return x

@@ -22,8 +22,8 @@ import jax.numpy as jnp
 
 import os as _os
 
-from dir_tpu.models.layers import (BN_EPS, BN_MOMENTUM, conv_kernel_init,
-                                   stat_barrier)
+from dir_tpu.models.layers import (BN_EPS, TorchBatchNorm,
+                                   conv_kernel_init, stat_barrier)
 
 # Split-K weight-gradient experiment for the backbone's 1x1 convs
 # (see ops/conv1x1.py). 0 = standard nn.Conv.
@@ -98,9 +98,8 @@ class Bottleneck(nn.Module):
             return self._quant_infer(x)
 
         def bn(name):
-            return nn.BatchNorm(use_running_average=not train,
-                                momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                                dtype=self.dtype, name=name)
+            return TorchBatchNorm(use_running_average=not train,
+                                  dtype=self.dtype, name=name)
 
         def conv_1x1(features, name, inp):
             if _CONV1X1_SPLITK:
@@ -253,9 +252,8 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         def bn(name):
-            return nn.BatchNorm(use_running_average=not train,
-                                momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                                dtype=self.dtype, name=name)
+            return TorchBatchNorm(use_running_average=not train,
+                                  dtype=self.dtype, name=name)
 
         def conv_3x3(name, inp, stride):
             # symmetric padding=1 — see the Bottleneck conv2 comment
@@ -365,10 +363,9 @@ class ResNetPyramid(nn.Module):
                         use_bias=False, kernel_init=conv_kernel_init,
                         dtype=self.dtype, name="conv1")(x)
         if not q_stem:
-            x = nn.BatchNorm(use_running_average=not train,
-                             momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                             dtype=self.dtype,
-                             name="bn1")(stat_barrier(x, train))
+            x = TorchBatchNorm(use_running_average=not train,
+                               dtype=self.dtype,
+                               name="bn1")(stat_barrier(x, train))
         x = nn.relu(x)
         # reduce_window + select_and_scatter cost ~2.7 ms/step (b64) —
         # ~8x roofline — but the shifted-strided-slice reformulation

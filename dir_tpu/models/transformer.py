@@ -75,10 +75,10 @@ class Block(nn.Module):
         c = x.shape[-1]
         x = x + Attention(self.num_heads, self.qkv_bias, dtype=self.dtype,
                           name="attn")(
-            nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x))
+            nn.LayerNorm(use_fast_variance=False, epsilon=1e-6, dtype=self.dtype, name="norm1")(x))
         x = x + Mlp(int(c * self.mlp_ratio), c, dtype=self.dtype,
                     name="mlp")(
-            nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x))
+            nn.LayerNorm(use_fast_variance=False, epsilon=1e-6, dtype=self.dtype, name="norm2")(x))
         return x
 
 
@@ -100,12 +100,12 @@ class STE(nn.Module):
                          (1, self.num_joints, self.in_chans))
         x = x + pos
         # One shared norm applied after every block (mixSTE.py:187,200).
-        spatial_norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+        spatial_norm = nn.LayerNorm(use_fast_variance=False, epsilon=1e-6, dtype=self.dtype,
                                     name="spatial_norm")
         # Reference executes blocks 1..depth-1 only (mixSTE.py:197).
         for i in range(1, self.depth):
             x = Block(self.num_heads, self.mlp_ratio, self.qkv_bias,
                       dtype=self.dtype, name=f"block{i}")(x)
             x = spatial_norm(x)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="head_norm")(x)
+        x = nn.LayerNorm(use_fast_variance=False, epsilon=1e-5, dtype=self.dtype, name="head_norm")(x)
         return nn.Dense(self.out_dim, dtype=self.dtype, name="head")(x)

@@ -46,9 +46,10 @@ def bone_splat(joint_uv: jnp.ndarray, joint_feat: jnp.ndarray,
         channel-minor — matching the reference's channel ordering so the
         downstream fusion conv maps 1:1 to the torch checkpoint.
     """
-    # Geometry (distances/weights) always in fp32; only the feature
-    # interpolation runs in the (possibly bf16) feature dtype.
-    dtype = jnp.float32
+    # Geometry (distances/weights) in AT LEAST fp32 (never the bf16
+    # feature dtype); promote keeps it fp64 under the fp64 gradient
+    # oracle (tests/test_reference_oracle_grad.py).
+    dtype = jnp.promote_types(joint_uv.dtype, jnp.float32)
     feat_dtype = joint_feat.dtype
     b = joint_uv.shape[0]
     c = joint_feat.shape[-1]

@@ -31,9 +31,10 @@ def splat_weights(joint_uv: jnp.ndarray, size: int, distance: float):
     """Masked interpolation weights of the bone splat.
 
     joint_uv: (B, 21, 2) in [-1, 1]. Returns (w_a, w_b): (B, S, S, 20)
-    fp32 (geometry always fp32; see ops.bone_splat).
+    in at-least-fp32 (geometry never runs bf16; promotes to fp64 under
+    the fp64 gradient oracle — see ops.bone_splat).
     """
-    f32 = jnp.float32
+    f32 = jnp.promote_types(joint_uv.dtype, jnp.float32)
     parent = jnp.asarray(PARENT)
     child = jnp.asarray(CHILD)
 

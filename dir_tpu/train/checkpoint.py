@@ -45,6 +45,20 @@ def restore_checkpoint(ckpt_dir: str, target, name: str = "latest"):
     return ckptr.restore(path, target)
 
 
+def load_checkpoint_weights(ckpt_dir: str, name: str = "latest"):
+    """(params, batch_stats) out of a Trainer checkpoint WITHOUT a
+    TrainState template — a target-less orbax restore returns the raw
+    nested dict, so callers that don't know the optimizer tree (eval,
+    serving, quantization calibration) can still load weights.
+    (A template with opt_state=None fails orbax's structure check
+    against a checkpoint that has one — caught by
+    test_apps_cli.py::test_eval_cli_from_orbax_checkpoint.)"""
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(os.path.join(ckpt_dir, name))
+    tree = ocp.StandardCheckpointer().restore(path)
+    return tree["params"], tree["batch_stats"]
+
+
 def save_meta(ckpt_dir: str, meta: dict) -> None:
     """Persist the loop state the TrainState pytree doesn't carry:
     next epoch, best metric, aug PRNG key (the reference saves

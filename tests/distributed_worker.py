@@ -1,6 +1,12 @@
 """Worker process for the multi-process jax.distributed test.
 
-Usage: python tests/distributed_worker.py PROC_ID NUM_PROCS PORT DEVS
+Usage: python tests/distributed_worker.py PROC_ID NUM_PROCS PORT DEVS [MODE]
+
+MODE selects the program class (VERDICT r4 #6 — cover BOTH):
+  train (default) — one sharded fwd+loss+bwd+adamw step
+  eval            — sharded inference + the PRODUCTION metric reduction
+                    (dir_tpu/train/evaluate.batch_metrics, the
+                    apps/eval.py --devices path)
 
 Initializes `jax.distributed` against a localhost coordinator, builds
 the GLOBAL data mesh over NUM_PROCS x DEVS virtual CPU devices, and runs
@@ -25,6 +31,7 @@ import sys
 
 proc_id, num_procs, port, devs = (int(sys.argv[1]), int(sys.argv[2]),
                                   sys.argv[3], int(sys.argv[4]))
+mode = sys.argv[5] if len(sys.argv) > 5 else "train"
 
 # Per-process virtual CPU devices + the 1-core-host collective timeouts
 # (see __graft_entry__). Must be set before the first backend init.
@@ -124,9 +131,65 @@ def tiny_sharded_step_loss() -> float:
     return float(loss)
 
 
+def tiny_sharded_eval_metric() -> float:
+    """The EVAL+metric program class over the global mesh: batch-sharded
+    per-sample predictions/GT through the PRODUCTION metric reduction
+    (dir_tpu/train/evaluate.batch_metrics — the apps/eval.py --devices
+    path; reference metric defn apps/eval.py:139-241), all-reduced to
+    replicated scalars. Mirrors __graft_entry__.sharded_eval_metric on
+    a cross-process mesh (tiny tensors for the same gloo-timeout reason
+    as the train-mode MLP above)."""
+    import jax.numpy as jnp
+
+    from dir_tpu.mano import fix_left_shapedirs, synthetic_mano
+    from dir_tpu.train import evaluate
+
+    rng = np.random.RandomState(7)
+    b = 16
+    right = synthetic_mano("right", seed=0)
+    left = fix_left_shapedirs(synthetic_mano("left", seed=0), right)
+    jreg_l = evaluate.extended_j_regressor(left)
+    jreg_r = evaluate.extended_j_regressor(right)
+
+    def verts():
+        return (rng.randn(b, 778, 3) * 0.05
+                + np.asarray([0, 0, 0.5])).astype(np.float32)
+
+    pd_l, pd_r, gt_l, gt_r = verts(), verts(), verts(), verts()
+    offset = (rng.randn(b, 3) * 0.1).astype(np.float32)
+    camera = np.tile(np.asarray(
+        [[530.0, 0, 128], [0, 530.0, 128], [0, 0, 1]], np.float32),
+        (b, 1, 1))
+    valid = np.ones(b, np.float32)
+
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+
+    def metric(pd_l, pd_r, off, gt_l, gt_r, cam, valid):
+        acc = evaluate.batch_metrics(pd_l, pd_r, off, gt_l, gt_r, cam,
+                                     jreg_l, jreg_r, valid, root_joint=0)
+        # one deterministic scalar over every accumulator term
+        return sum(jnp.asarray(v, jnp.float32) for v in acc.values())
+
+    jmetric = jax.jit(metric, in_shardings=(data,) * 7,
+                      out_shardings=repl)
+    with mesh:
+        args = tuple(shard_batch(
+            {"v": a}, mesh)["v"] for a in (pd_l, pd_r, offset, gt_l,
+                                           gt_r, camera, valid))
+        compiled = jmetric.lower(*args).compile()
+        if sync is not None:
+            sync()
+        out = compiled(*args)
+        jax.block_until_ready(out)
+    return float(out)
+
+
 if os.environ.get("DIST_FULL_DIR") == "1":
     jax.config.update("jax_disable_most_optimizations", True)
     loss = ge.sharded_step_loss(mesh, n_global, sync=sync)
+elif mode == "eval":
+    loss = tiny_sharded_eval_metric()
 else:
     loss = tiny_sharded_step_loss()
 print(f"WORKER_LOSS {proc_id} {loss:.6f}", flush=True)

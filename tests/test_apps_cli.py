@@ -117,6 +117,63 @@ def test_eval_cli_smoke(tmp_path, monkeypatch, capsys):
 
 
 @pytest.mark.slow
+def test_eval_cli_from_orbax_checkpoint(tmp_path, monkeypatch, capsys):
+    """apps/eval.py --model <trainer checkpoint>: the orbax restore path
+    (eval.py builds a TrainState template with opt_state=None and loads
+    a Trainer-written 'latest') — the path tools/quant_accuracy.py
+    --model uses for converged-weights measurements (VERDICT r4 #5).
+    Restored weights must change the metrics vs random init."""
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import dataclasses
+
+    from dir_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+    from dir_tpu.data import synthetic
+    from dir_tpu.mano import synthetic_mano, fix_left_shapedirs
+    from dir_tpu.parallel.mesh import make_mesh
+    from dir_tpu.train.trainer import Trainer
+
+    right = synthetic_mano("right", seed=0)
+    left = fix_left_shapedirs(synthetic_mano("left", seed=0), right)
+    data_dir = str(tmp_path / "data")
+    synthetic.generate(data_dir, left, right, split="train", num_samples=2)
+    synthetic.generate(data_dir, left, right, split="test", num_samples=2,
+                       seed=5)
+    out_dir = str(tmp_path / "train_out")
+    cfg = Config(
+        model=ModelConfig(backbone_layers=(1, 1, 1, 1)),
+        data=DataConfig(data_dir=data_dir, num_workers=1),
+        train=TrainConfig(batch_size=2, total_epochs=1, draw_every=0,
+                          eval_every_epochs=0, output_dir=out_dir))
+    trainer = Trainer(cfg, left, right, mesh=make_mesh(1))
+    trainer.make_data()
+    trainer.make_model()
+    trainer.train()
+    ckpt = os.path.join(out_dir, "checkpoint", "latest")
+    assert os.path.isdir(ckpt)
+
+    app = _load_app("eval")
+
+    def run(model):
+        eval_out = str(tmp_path / f"eval_{os.path.basename(model)}")
+        monkeypatch.setattr(sys, "argv", [
+            "eval", "--model", model, "--data_path", data_dir,
+            "--out", eval_out, "--bs", "2",
+            "--backbone_layers", "1,1,1,1", "--synthetic_mano"])
+        app.main()
+        capsys.readouterr()
+        return np.loadtxt(os.path.join(eval_out, "joint_left_error.txt"))
+
+    from_ckpt = run(ckpt)
+    assert np.isfinite(from_ckpt).all()
+    from_random = run("random")
+    # one optimizer step moved every weight; restored-weight metrics
+    # must differ from random-init's (proves weights actually loaded)
+    assert not np.allclose(from_ckpt, from_random)
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("quant", [False, True])
 def test_eval_cli_sharded(tmp_path, monkeypatch, capsys, quant):
     """--devices 8 (1-D data mesh over the virtual CPU devices) produces

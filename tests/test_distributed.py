@@ -32,7 +32,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _spawn(proc_id, num_procs, port, devs):
+def _spawn(proc_id, num_procs, port, devs, mode="train"):
     env = dict(os.environ)
     # The parent pytest process pins 8 CPU devices via XLA_FLAGS; the
     # worker must choose its own device count.
@@ -40,7 +40,7 @@ def _spawn(proc_id, num_procs, port, devs):
     env["JAX_PLATFORMS"] = "cpu"
     return subprocess.Popen(
         [sys.executable, _WORKER, str(proc_id), str(num_procs), str(port),
-         str(devs)],
+         str(devs), mode],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         cwd=_REPO, env=env)
 
@@ -80,3 +80,32 @@ def test_two_process_step_matches_single_process():
     # Same model, params, batch; only the process topology differs. The
     # cross-process all-reduce may re-associate fp32 sums.
     np.testing.assert_allclose(loss_multi[0], loss_single, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_two_process_eval_metric_matches_single_process():
+    """The EVAL+metric program class (VERDICT r4 #6): sharded per-sample
+    predictions through the production evaluate.batch_metrics reduction
+    over a 2-process mesh == the single-process 8-device run. Mirrors
+    the train-step test so multi-host coverage matches the
+    single-process dryrun's two program classes."""
+    port = _free_port()
+    procs = [_spawn(i, 2, port, 4, mode="eval") for i in range(2)]
+    outs = []
+    for i, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=1500)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
+    metric_multi = [_loss_from(o, i) for i, o in enumerate(outs)]
+    assert metric_multi[0] == metric_multi[1]  # replicated output
+
+    p = _spawn(0, 1, port, 8, mode="eval")
+    out, _ = p.communicate(timeout=1500)
+    assert p.returncode == 0, f"single-process run failed:\n{out[-3000:]}"
+    metric_single = _loss_from(out, 0)
+    np.testing.assert_allclose(metric_multi[0], metric_single, rtol=1e-4)

@@ -31,6 +31,14 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
                                                 "..")))
 
 import jax
+
+# Honor JAX_PLATFORMS=cpu for hermetic smokes: the box's sitecustomize
+# registers the tunneled TPU backend and overrides the env var, so the
+# config must be set programmatically BEFORE the first backend init
+# (CLAUDE.md trap).
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -102,6 +110,16 @@ def main():
             print(json.dumps({"ok": False, "error": "non-finite loss",
                               "step": (i + 1) * unroll}))
             sys.exit(1)
+
+    if os.environ.get("SAVE"):
+        # persist the converged weights (e.g. for
+        # tools/quant_accuracy.py --model <SAVE>/latest — VERDICT r4 #5:
+        # re-measure int8 deltas on trained rather than random weights)
+        from dir_tpu.train.checkpoint import save_checkpoint
+        save_checkpoint(os.environ["SAVE"], jax.device_get(state),
+                        steps, "latest")
+        print(f"saved checkpoint to {os.environ['SAVE']}/latest",
+              flush=True)
 
     # steady state: skip the first (compile) dispatch
     ms_per_step = float(np.median(times[1:]) * 1000) if len(times) > 1 \

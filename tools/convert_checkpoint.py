@@ -60,15 +60,10 @@ def main():
         print(f"wrote orbax checkpoint {opt.out}")
     elif opt.orbax:
         import torch
-        variables = jax.tree.map(
-            lambda s: jnp.zeros(s.shape, s.dtype), shapes)
-        state = TrainState(step=jnp.zeros((), jnp.int32),
-                           params=variables["params"],
-                           batch_stats=variables["batch_stats"],
-                           opt_state=None)
-        restored = ckpt.restore_checkpoint(opt.orbax, state, opt.name)
-        sd = ckpt.export_torch_dir_state(restored.params,
-                                         restored.batch_stats)
+        params, stats = ckpt.load_checkpoint_weights(opt.orbax, opt.name)
+        sd = ckpt.export_torch_dir_state(
+            ckpt.prune_to_target(params, shapes["params"]),
+            ckpt.prune_to_target(stats, shapes["batch_stats"]))
         torch.save({"net": {k: torch.from_numpy(v.copy())
                             for k, v in sd.items()}}, opt.out)
         print(f"wrote torch checkpoint {opt.out}")

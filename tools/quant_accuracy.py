@@ -31,6 +31,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 MODES = [
     ("fp (QUANT=0)", []),
+    # VERDICT r4 #4: the bf16 trunk carries every headline eval number —
+    # it needs a row in the same metric-delta table as int8.
+    ("bf16 trunk", ["--dtype", "bfloat16"]),
     ("int8 backbone (QUANT=1)", ["--quant_backbone"]),
     ("int8 bb+decoder (QUANT=2)", ["--quant_backbone", "--quant_decoder"]),
     ("int8 bb+dec static (QUANT=2+S)",
@@ -41,10 +44,10 @@ MODES = [
 ]
 
 
-def run_mode(data_dir, out_root, extra, bs, backbone):
+def run_mode(data_dir, out_root, extra, bs, backbone, model="random"):
     out = os.path.join(out_root, "_".join(extra) or "fp")
     cmd = [sys.executable, os.path.join(REPO, "apps", "eval.py"),
-           "--model", "random", "--data_path", data_dir, "--out", out,
+           "--model", model, "--data_path", data_dir, "--out", out,
            "--bs", str(bs), "--synthetic_mano",
            "--backbone_layers", backbone] + extra
     r = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
@@ -66,6 +69,12 @@ def main():
     ap.add_argument("--data_path", type=str, default=None,
                     help="existing prepared dataset; default: generate "
                     "a synthetic split")
+    ap.add_argument("--model", type=str, default="random",
+                    help="checkpoint for apps/eval.py --model; pass a "
+                    "converged checkpoint (e.g. from "
+                    "tools/convergence_tpu.py --save) to measure deltas "
+                    "on trained rather than random weights (VERDICT r4 "
+                    "#5: static calibration is range-sensitive)")
     args = ap.parse_args()
 
     with tempfile.TemporaryDirectory() as tmp:
@@ -83,7 +92,7 @@ def main():
         rows = []
         for name, extra in MODES:
             s = run_mode(data_dir, os.path.join(tmp, "out"), extra,
-                         args.bs, args.backbone_layers)
+                         args.bs, args.backbone_layers, model=args.model)
             rows.append((name, s))
             print(f"done: {name}: joint {s['joint_mean_all_mm']:.4f} mm",
                   file=sys.stderr, flush=True)

@@ -30,6 +30,12 @@ def test_bf16_forward_close_to_fp32(rng):
     f32 = out32["stages"][-1]["pd_joint_xyz_left"]
     f16 = out16["stages"][-1]["pd_joint_xyz_left"]
     assert f16.dtype == jnp.float32  # MANO path stays fp32
-    # bf16 trunk: fingers-of-a-hand agreement, not bit equality
-    assert float(jnp.max(jnp.abs(f32 - f16))) < 0.05
+    # Bound derived from measurement (VERDICT r4 weak #2): on this
+    # fixture max|dxyz| = 3.6e-4 (2026-08-19, both hands); at the
+    # metric level the full-depth bf16 trunk costs +0.0022 mm joint /
+    # +0.0052 px 2d (tools/quant_accuracy.py --modes bf16, DESIGN.md
+    # §8). 2e-3 gives ~5x headroom over the measured delta while still
+    # catching any fp32-path regression into bf16 (those present as
+    # 1e-2..1e-1 here).
+    assert float(jnp.max(jnp.abs(f32 - f16))) < 2e-3
     assert out16["seg"].dtype == jnp.float32

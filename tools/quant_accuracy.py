@@ -75,7 +75,16 @@ def main():
                     "tools/convergence_tpu.py --save) to measure deltas "
                     "on trained rather than random weights (VERDICT r4 "
                     "#5: static calibration is range-sensitive)")
+    ap.add_argument("--modes", type=str, default=None,
+                    help="comma-separated substrings; run only matching "
+                    "MODES rows (fp always runs — it is the delta base)")
     args = ap.parse_args()
+
+    modes = MODES
+    if args.modes:
+        pats = [p.strip() for p in args.modes.split(",")]
+        modes = [MODES[0]] + [
+            m for m in MODES[1:] if any(p in m[0] for p in pats)]
 
     with tempfile.TemporaryDirectory() as tmp:
         data_dir = args.data_path
@@ -90,7 +99,7 @@ def main():
                                num_samples=args.samples)
 
         rows = []
-        for name, extra in MODES:
+        for name, extra in modes:
             s = run_mode(data_dir, os.path.join(tmp, "out"), extra,
                          args.bs, args.backbone_layers, model=args.model)
             rows.append((name, s))

@@ -37,8 +37,14 @@ class InterHandDataset:
     def __init__(self, data_path: str, split: str,
                  mano_left: ManoModel, mano_right: ManoModel,
                  img_size: int = 256, augment_train: bool = True,
-                 seed: int = 25, native_warp: bool = False):
+                 seed: int = 25, native_warp: bool = False,
+                 wire8: bool = False):
         assert split in ("train", "test", "val")
+        # wire8: emit img/dense/seg as uint8 (the host pipeline's native
+        # dtype right up to its last normalize step) and let the train
+        # step normalize ON DEVICE (train.steps.decode_wire8) — EXACT
+        # same values, ~3.8x fewer host->device bytes per batch.
+        self.wire8 = wire8
         self.data_path = data_path
         self.split = split
         self.img_size = img_size
@@ -149,13 +155,22 @@ class InterHandDataset:
         if self.augment_train:
             img = augment.add_noise(img, rng, noise=0.01)
 
-        img_norm = native.normalize_bgr(img, augment.IMAGENET_MEAN,
-                                        augment.IMAGENET_STD)
-        # Dense-correspondence GT stays in the on-disk BGR channel order:
-        # the reference trains the dense head directly on the cv.imread
-        # array (dataset/interhand.py:226), so reference-trained
-        # checkpoints expect BGR-ordered dense targets.
-        dense_norm = dense.astype(np.float32) / 255.0
+        if self.wire8:
+            # ship the pipeline's native uint8 (img is uint8 end-to-end:
+            # warp/blur/add_noise all emit u8) and normalize on device —
+            # exact, and the host skips its normalize pass too
+            img_norm = np.ascontiguousarray(img, np.uint8)
+            dense_norm = np.ascontiguousarray(dense, np.uint8)
+            seg = seg.astype(np.uint8)
+        else:
+            img_norm = native.normalize_bgr(img, augment.IMAGENET_MEAN,
+                                            augment.IMAGENET_STD)
+            # Dense-correspondence GT stays in the on-disk BGR channel
+            # order: the reference trains the dense head directly on the
+            # cv.imread array (dataset/interhand.py:226), so
+            # reference-trained checkpoints expect BGR-ordered dense
+            # targets.
+            dense_norm = dense.astype(np.float32) / 255.0
 
         def nuv(l2d, l3d):
             return np.concatenate(

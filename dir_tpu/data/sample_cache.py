@@ -125,10 +125,11 @@ class CachedInterHandDataset(InterHandDataset):
     def __init__(self, data_path: str, split: str,
                  mano_left: ManoModel, mano_right: ManoModel,
                  img_size: int = 256, augment_train: bool = True,
-                 seed: int = 25, native_warp: bool = False):
+                 seed: int = 25, native_warp: bool = False,
+                 wire8: bool = False):
         super().__init__(data_path, split, mano_left, mano_right,
                          img_size=img_size, augment_train=augment_train,
-                         seed=seed, native_warp=native_warp)
+                         seed=seed, native_warp=native_warp, wire8=wire8)
         d = cache_dir(data_path, split)
         meta_path = osp.join(d, "meta.json")
         if not osp.exists(meta_path):

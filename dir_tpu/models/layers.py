@@ -72,6 +72,35 @@ def conv_init_normal(std: float):
     return nn.initializers.normal(stddev=std)
 
 
+# Shifted single-pass batch moments (BN_SHIFTED=0 reverts to two-pass).
+# The two-pass variance E[(x-mu)^2] is numerically ideal but its second
+# reduction DEPENDS on the first, so XLA must read the activation from
+# HBM twice per BN (train fwd + again in bwd) — measured +4.2 ms on the
+# b64 train step (60.3 -> 64.5 ms) when it replaced flax's fast path.
+# The textbook shifted-data algorithm recovers the single fused pass
+# without the fast path's catastrophic fp32 cancellation: center on an
+# x-INDEPENDENT shift s ~= mean (the running mean, stop_gradient), then
+#   var = E[(x-s)^2] - (E[x-s])^2
+# cancels only (mu-s)^2 ~ 0 instead of mu^2 >> var. Exact algebra (s
+# drops out of both mean and var), identical gradients; the fp32
+# robustness is pinned against an fp64 oracle on the |mean| >> std
+# fixture that exposed the fast-path bug
+# (tests/test_reference_oracle_grad.py::test_bn_fp32_moment_stability).
+_BN_SHIFTED = int(_os.environ.get("BN_SHIFTED", "1"))
+
+
+def _batch_moments(xf: jnp.ndarray, axes, shift: jnp.ndarray):
+    if _BN_SHIFTED:
+        s = jax.lax.stop_gradient(shift).astype(xf.dtype)
+        y = xf - s
+        my = y.mean(axis=axes)
+        var = jnp.maximum(jnp.square(y).mean(axis=axes) - jnp.square(my),
+                          0.0)
+        return my + s, var
+    mu = xf.mean(axis=axes)
+    return mu, jnp.square(xf - mu).mean(axis=axes)
+
+
 class ConvBNRelu(nn.Module):
     """Conv -> optional BN -> optional ReLU."""
 
@@ -135,11 +164,11 @@ class TorchBatchNorm(nn.Module):
         if self.use_running_average:
             mu, var = ra_mean.value, ra_var.value
         else:
-            # stats in at-least-fp32 (fp64 under the fp64 oracle)
+            # stats in at-least-fp32 (fp64 under the fp64 oracle);
+            # single-pass shifted moments, see _batch_moments
             xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
             axes = tuple(range(x.ndim - 1))
-            mu = xf.mean(axis=axes)
-            var = jnp.square(xf - mu).mean(axis=axes)
+            mu, var = _batch_moments(xf, axes, ra_mean.value)
             if not self.is_initializing():
                 n = x.size // feat
                 m = self.momentum
@@ -180,21 +209,19 @@ class _PairBN(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((c,), jnp.float32))
 
-        def stats(x):
-            # Two-pass variance, NOT E[x^2]-E[x]^2: the fast form
-            # catastrophically cancels in fp32 when |mean| >> std, which
-            # poisons sigma and hence the 1/sigma-scaled BN backward —
-            # found by the gradient-level oracle
-            # (tests/test_reference_oracle_grad.py); torch uses the
-            # stable form. Matches use_fast_variance=False everywhere.
-            xf = x.astype(jnp.float32)
-            mu = xf.mean(axis=(0, 1, 2))
-            var = jnp.square(xf - mu).mean(axis=(0, 1, 2))
-            return mu, var
+        def stats(x, shift):
+            # Shifted single-pass moments, NOT raw E[x^2]-E[x]^2: the
+            # unshifted fast form catastrophically cancels in fp32 when
+            # |mean| >> std, which poisons sigma and hence the
+            # 1/sigma-scaled BN backward — found by the gradient-level
+            # oracle (tests/test_reference_oracle_grad.py). See
+            # _batch_moments for the shift argument.
+            xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
+            return _batch_moments(xf, (0, 1, 2), shift)
 
         if train:
-            mu_a, var_a = stats(stat_barrier(a, train))
-            mu_b, var_b = stats(stat_barrier(b, train))
+            mu_a, var_a = stats(stat_barrier(a, train), ra_mean.value[:ca])
+            mu_b, var_b = stats(stat_barrier(b, train), ra_mean.value[ca:])
             if not self.is_initializing():
                 m = self.momentum
                 # unbiased running-var update, matching TorchBatchNorm

@@ -25,6 +25,37 @@ from dir_tpu.parallel.mesh import batch_sharding, replicated_sharding
 from dir_tpu.train.state import TrainState
 
 
+def decode_wire8(batch: dict) -> dict:
+    """Decode the lossless uint8 wire format on device (dtype-driven).
+
+    The host pipeline is uint8 END-TO-END until its final normalize
+    (cv2 warp, motion blur, and add_noise all emit uint8 —
+    data/augment.py:128 clips+casts; reference utils/utils.py:445-452
+    does the same): shipping the pre-normalize uint8 arrays and
+    normalizing on device is therefore EXACT, while cutting the
+    host->device bytes of a b64 batch 120 MB -> 32 MB (img/dense
+    f32->u8, seg i32->u8; measured tunnel-bound at 8.4 img/s loader-fed
+    without it, tools/bench_train_pipeline.py). The formulas replicate
+    data/native.py:normalize_bgr and InterHandDataset.__getitem__
+    (interhand.py:151-158) op-for-op in fp32.
+
+    No-op on float batches, so every step accepts both formats without
+    reconfiguration (the dtype is static under jit).
+    """
+    from dir_tpu.data.augment import IMAGENET_MEAN, IMAGENET_STD
+    b = dict(batch)
+    if b["img"].dtype == jnp.uint8:
+        rgb = b["img"][..., ::-1].astype(jnp.float32) / 255.0
+        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+        std = jnp.asarray(IMAGENET_STD, jnp.float32)
+        b["img"] = (rgb - mean) / std
+    if "dense" in b and b["dense"].dtype == jnp.uint8:
+        b["dense"] = b["dense"].astype(jnp.float32) / 255.0
+    if "seg" in b and b["seg"].dtype == jnp.uint8:
+        b["seg"] = b["seg"].astype(jnp.int32)
+    return b
+
+
 def make_train_step(model, tx, cfg: ModelConfig, mano_left: ManoModel,
                     mano_right: ManoModel, mesh: Mesh | None = None,
                     donate: bool = True, unroll: int = 1,
@@ -60,6 +91,7 @@ def make_train_step(model, tx, cfg: ModelConfig, mano_left: ManoModel,
         raise ValueError("unroll and grad_accum are mutually exclusive")
 
     def loss_for(params, stats, batch):
+        batch = decode_wire8(batch)
         out, updates = model.apply(
             {"params": params, "batch_stats": stats},
             batch["img"], mano_left, mano_right, train=True,

@@ -99,7 +99,8 @@ class Trainer:
             self._aug_key = jax.random.PRNGKey(c.train.seed)
         else:
             self.train_ds = self._host_dataset("train", seed=c.train.seed,
-                                               native_warp=c.data.native_warp)
+                                               native_warp=c.data.native_warp,
+                                               wire8=c.data.wire8)
             self.preprocess_train = None
             self.preprocess_test = None
         if self.preprocess_test is None:

@@ -492,3 +492,68 @@ def test_ref_lr_schedules():
                     got, want, rtol=1e-4, atol=1e-10,
                     err_msg=f"{kind} epoch {epoch} substep {sub}")
             tsched.step()
+
+
+def test_bn_fp32_moment_stability(fp64):
+    """The |mean| >> std regime that exposed flax's fast-variance bug:
+    the shifted single-pass moments (layers._batch_moments, the
+    BN_SHIFTED default — one fused HBM pass like the fast path) must
+    stay fp32-accurate with a shift that LAGS the true mean (a running
+    mean mid-training). The residual fp32 error amplifies as
+    eps32 * (mu-shift)^2/var, so the bounds are derived from the lag:
+    at mean/std=1000 a 0.5% lag amplifies ~25x (assert rtol 1e-3), a 5%
+    lag ~2500x (assert rtol 2e-2, gradient scale error <1%) — vs the
+    UNSHIFTED fast form whose amplification is mu^2/var = 1e6 (>10%
+    variance error, the cos 0.88 / 1.6x-norm gradient corruption the
+    oracle caught)."""
+    from dir_tpu.models.layers import _batch_moments
+
+    rng = np.random.RandomState(7)
+    c = 8
+    mean = rng.uniform(100, 500, (c,))
+    x32 = jnp.asarray(
+        (mean + 0.3 * rng.randn(64, 14, 14, c)).astype(np.float32))
+    xf64 = x32.astype(jnp.float64)
+    var64 = jnp.square(xf64 - xf64.mean(axis=(0, 1, 2))).mean(axis=(0, 1, 2))
+
+    # random probe weights: an UNweighted sum of BN outputs is
+    # identically zero (each channel sums to zero), so its gradient is
+    # degenerate — w makes the 1/sigma and centered-x backward paths
+    # actually contribute
+    w = jnp.asarray(rng.randn(*x32.shape).astype(np.float32))
+
+    def ref64(x):
+        xf = x.astype(jnp.float64)
+        mu = xf.mean(axis=(0, 1, 2))
+        var = jnp.square(xf - mu).mean(axis=(0, 1, 2))
+        return jnp.sum(w.astype(jnp.float64) * (xf - mu)
+                       * jax.lax.rsqrt(var + 1e-5))
+
+    g64 = np.asarray(jax.grad(ref64)(x32)).ravel()
+
+    for lag, var_rtol, norm_tol in ((0.005, 1e-3, 1e-3),
+                                    (0.05, 2e-2, 1e-2)):
+        shift32 = jnp.asarray(
+            (mean * (1 + lag * rng.randn(c))).astype(np.float32))
+        _, var32 = _batch_moments(x32, (0, 1, 2), shift32)
+        np.testing.assert_allclose(np.asarray(var32), np.asarray(var64),
+                                   rtol=var_rtol,
+                                   err_msg=f"lag {lag}")
+
+        def bnish(x):
+            mu, var = _batch_moments(x, (0, 1, 2), shift32)
+            return jnp.sum(w * (x - mu) * jax.lax.rsqrt(var + 1e-5))
+
+        g32 = np.asarray(jax.grad(bnish)(x32)).ravel()
+        cos = g32 @ g64 / (np.linalg.norm(g32) * np.linalg.norm(g64))
+        assert cos > 1 - 1e-5, (lag, cos)
+        assert abs(np.linalg.norm(g32) / np.linalg.norm(g64) - 1) \
+            < norm_tol, (lag, np.linalg.norm(g32) / np.linalg.norm(g64))
+
+    # the unshifted fast form IS catastrophic on this fixture
+    xf32 = x32.astype(jnp.float32)
+    var_fast = (jnp.square(xf32).mean(axis=(0, 1, 2))
+                - jnp.square(xf32.mean(axis=(0, 1, 2))))
+    rel = np.max(np.abs(np.asarray(var_fast) - np.asarray(var64))
+                 / np.asarray(var64))
+    assert rel > 0.1, f"fixture no longer bites: {rel}"
